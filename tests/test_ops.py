@@ -1,0 +1,161 @@
+"""Tests for point-cloud ops and the in-jit Hungarian solver."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from ov3det.ops import (
+    auction_lap,
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+)
+
+
+def fps_oracle(xyz, k):
+    """Greedy maximin FPS in plain numpy (seed = index 0)."""
+    N = xyz.shape[0]
+    inds = np.zeros(k, np.int32)
+    min_d2 = np.full(N, np.inf)
+    for i in range(1, k):
+        d2 = np.sum((xyz - xyz[inds[i - 1]]) ** 2, axis=-1)
+        min_d2 = np.minimum(min_d2, d2)
+        inds[i] = int(np.argmax(min_d2))
+    return inds
+
+
+class TestFPS:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        xyz = rng.normal(size=(2, 300, 3)).astype(np.float32)
+        inds = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))
+        for b in range(2):
+            np.testing.assert_array_equal(inds[b], fps_oracle(xyz[b], 32))
+
+    def test_no_duplicates_and_spread(self):
+        rng = np.random.default_rng(1)
+        xyz = rng.uniform(size=(1, 500, 3)).astype(np.float32)
+        inds = np.asarray(furthest_point_sample(jnp.asarray(xyz), 64))[0]
+        assert len(set(inds.tolist())) == 64
+        # FPS must beat random sampling on minimum pairwise distance
+        sel = xyz[0][inds]
+        d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        rand = xyz[0][rng.choice(500, 64, replace=False)]
+        dr = np.linalg.norm(rand[:, None] - rand[None, :], axis=-1)
+        np.fill_diagonal(dr, np.inf)
+        assert d.min() > dr.min()
+
+
+class TestBallQuery:
+    def test_matches_first_k_oracle(self):
+        rng = np.random.default_rng(2)
+        xyz = rng.uniform(-1, 1, size=(2, 200, 3)).astype(np.float32)
+        centers = xyz[:, :16]
+        r, K = 0.35, 8
+        idx = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(centers), r, K))
+        for b in range(2):
+            for m in range(16):
+                d2 = np.sum((xyz[b] - centers[b, m]) ** 2, -1)
+                hits = np.where(d2 < r * r)[0][:K]
+                want = np.concatenate([hits, np.full(K - len(hits), hits[0])])
+                np.testing.assert_array_equal(idx[b, m], want)
+
+    def test_group_points_layout(self):
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform(-1, 1, size=(1, 50, 3)).astype(np.float32)
+        feat = rng.normal(size=(1, 50, 4)).astype(np.float32)
+        centers = xyz[:, :5]
+        idx = ball_query(jnp.asarray(xyz), jnp.asarray(centers), 0.5, 6)
+        grouped = np.asarray(
+            group_points(
+                jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(centers), idx, 0.5
+            )
+        )
+        assert grouped.shape == (1, 5, 6, 7)
+        i0 = int(np.asarray(idx)[0, 0, 0])
+        np.testing.assert_allclose(
+            grouped[0, 0, 0, :3], (xyz[0, i0] - centers[0, 0]) / 0.5, atol=1e-6
+        )
+        np.testing.assert_allclose(grouped[0, 0, 0, 3:], feat[0, i0], atol=1e-6)
+
+    def test_gather_points(self):
+        rng = np.random.default_rng(4)
+        pts = rng.normal(size=(2, 30, 5)).astype(np.float32)
+        inds = rng.integers(0, 30, size=(2, 7)).astype(np.int32)
+        out = np.asarray(gather_points(jnp.asarray(pts), jnp.asarray(inds)))
+        for b in range(2):
+            np.testing.assert_array_equal(out[b], pts[b][inds[b]])
+
+
+class TestAuctionLAP:
+    def _check_against_scipy(self, cost, n_persons, tol=0.1):
+        B, P, O = cost.shape
+        p2o, obj_assigned, o2p = jax.jit(auction_lap)(
+            jnp.asarray(cost), jnp.asarray(n_persons)
+        )
+        p2o = np.asarray(p2o)
+        obj_assigned = np.asarray(obj_assigned)
+        o2p = np.asarray(o2p)
+        for b in range(B):
+            n = n_persons[b]
+            if n == 0:
+                assert obj_assigned[b].sum() == 0
+                continue
+            rows, cols = linear_sum_assignment(cost[b, :n])
+            ref_cost = cost[b, rows, cols].sum()
+            objs = p2o[b, :n]
+            assert len(set(objs.tolist())) == n, "assignment must be injective"
+            ours_cost = cost[b, np.arange(n), objs].sum()
+            assert ours_cost <= ref_cost + tol, (b, ours_cost, ref_cost)
+            # dense layout consistency
+            assert obj_assigned[b].sum() == n
+            for p in range(n):
+                assert o2p[b, objs[p]] == p
+
+    def test_random_matrices(self):
+        rng = np.random.default_rng(5)
+        cost = rng.normal(size=(8, 16, 64)).astype(np.float32) * 5
+        n_persons = np.array([16, 12, 8, 16, 1, 0, 5, 16], np.int32)
+        self._check_against_scipy(cost, n_persons)
+
+    def test_detection_scale_costs(self):
+        # magnitudes similar to the real matcher cost (center-L1 * 5 etc.)
+        rng = np.random.default_rng(6)
+        B, P, O = 4, 32, 128
+        cost = (
+            rng.uniform(0, 30, size=(B, P, O)) - rng.uniform(0, 2, size=(B, P, O))
+        ).astype(np.float32)
+        n_persons = np.array([32, 20, 3, 32], np.int32)
+        self._check_against_scipy(cost, n_persons)
+
+    def test_exact_on_well_separated(self):
+        # when costs are well-separated the argmin assignment must be exact
+        rng = np.random.default_rng(7)
+        B, P, O = 4, 8, 32
+        cost = rng.integers(0, 50, size=(B, P, O)).astype(np.float32)
+        n_persons = np.full((B,), P, np.int32)
+        p2o, _, _ = auction_lap(jnp.asarray(cost), jnp.asarray(n_persons))
+        p2o = np.asarray(p2o)
+        for b in range(B):
+            rows, cols = linear_sum_assignment(cost[b])
+            ref = cost[b][rows, cols].sum()
+            ours = cost[b][np.arange(P), p2o[b]].sum()
+            assert abs(ours - ref) < 1e-2
+
+    def test_duplicate_rows_terminate(self):
+        # adversarial: identical persons trigger eps price wars; must still
+        # terminate with a feasible (injective) assignment of bounded cost
+        rng = np.random.default_rng(8)
+        row = rng.normal(size=(1, 1, 64)).astype(np.float32) * 5
+        cost = np.tile(row, (2, 16, 1))
+        n_persons = np.array([16, 16], np.int32)
+        p2o, obj_assigned, _ = auction_lap(jnp.asarray(cost), jnp.asarray(n_persons))
+        p2o = np.asarray(p2o)
+        for b in range(2):
+            assert len(set(p2o[b].tolist())) == 16
+            rows, cols = linear_sum_assignment(cost[b])
+            ref = cost[b][rows, cols].sum()
+            ours = cost[b][np.arange(16), p2o[b]].sum()
+            assert ours <= ref + 0.5
