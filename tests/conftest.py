@@ -31,6 +31,24 @@ def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
 
 
+def stub_module(name: str, **attrs):
+    """Install a fake module (and package parents) for reference imports."""
+    import types
+
+    parts = name.split(".")
+    for i in range(1, len(parts) + 1):
+        mod_name = ".".join(parts[:i])
+        if mod_name not in sys.modules:
+            mod = types.ModuleType(mod_name)
+            mod.__path__ = []  # make it package-like
+            sys.modules[mod_name] = mod
+        if i > 1:
+            setattr(sys.modules[".".join(parts[: i - 1])], parts[i - 1], sys.modules[mod_name])
+    for k, v in attrs.items():
+        setattr(sys.modules[name], k, v)
+    return sys.modules[name]
+
+
 def add_reference_to_path():
     """Expose the (read-only) reference repo for golden parity tests.
 
