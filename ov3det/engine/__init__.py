@@ -1,0 +1,21 @@
+from ov3det.engine.checkpoint import CheckpointManager
+from ov3det.engine.schedule import make_lr_schedule
+from ov3det.engine.train import (
+    TrainState,
+    build_optimizer,
+    build_training,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "CheckpointManager",
+    "make_lr_schedule",
+    "TrainState",
+    "build_optimizer",
+    "build_training",
+    "create_train_state",
+    "make_eval_step",
+    "make_train_step",
+]

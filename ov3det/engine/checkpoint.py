@@ -1,0 +1,67 @@
+"""Orbax checkpointing with the reference's latest/best/periodic semantics.
+
+Reference utils/io.py:8-58 + main.py:254-327: `checkpoint.pth` every epoch,
+`checkpoint_best.pth` on AP25 improvement, `checkpoint_{epoch:04d}.pth`
+every N epochs, and resume-from-latest on restart (restores model +
+optimizer and continues at epoch+1).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, state: Any, epoch: int, name: str = "checkpoint", extra: Optional[dict] = None):
+        payload = {
+            "state": jax.device_get(state),
+            "epoch": np.asarray(epoch),
+        }
+        if extra:
+            payload["extra"] = jax.device_get(extra)
+        path = self._path(name)
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+    def save_latest(self, state, epoch, extra=None):
+        self.save(state, epoch, "checkpoint", extra)
+
+    def save_best(self, state, epoch, extra=None):
+        self.save(state, epoch, "checkpoint_best", extra)
+
+    def save_periodic(self, state, epoch, extra=None):
+        self.save(state, epoch, f"checkpoint_{epoch:04d}", extra)
+
+    def restore(self, abstract_state: Any, name: str = "checkpoint"):
+        """Restore (state, epoch, extra); returns (None, -1, None) if absent.
+
+        Resume semantics match reference utils/io.py:33-58: caller should
+        continue at epoch+1.
+        """
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return None, -1, None
+        abstract = {
+            "state": abstract_state,
+            "epoch": np.asarray(0),
+        }
+        # tolerate checkpoints written with the optional extra payload
+        try:
+            restored = self._ckptr.restore(path, abstract)
+            extra = None
+        except BaseException:
+            restored = self._ckptr.restore(path)
+            extra = restored.get("extra")
+        return restored["state"], int(restored["epoch"]), extra
