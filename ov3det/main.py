@@ -1,0 +1,434 @@
+"""Training / evaluation entry point.
+
+Counterpart of the reference's main.py + engine.py epoch loops
+(reference main.py:28-506, engine.py:47-302): argparse surface with the
+same knobs, cosine-warmup schedule, latest/best/periodic checkpoints,
+resume-on-restart, idempotent final_eval guard, approximate train-time AP
+and exact eval AP, and a NaN-loss abort.
+
+Single process regardless of device count: data parallelism is a mesh +
+GSPMD, not torch.multiprocessing.spawn (reference main.py:490-506).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ov3det.config import (
+    DataConfig,
+    DecoderConfig,
+    EncoderConfig,
+    LossConfig,
+    MatcherConfig,
+    ModelConfig,
+    OptimConfig,
+    TeacherConfig,
+    TrainConfig,
+)
+from ov3det.datasets.loader import DataLoader
+from ov3det.datasets.registry import build_dataset
+from ov3det.engine import CheckpointManager, build_training
+from ov3det.eval import APCalculator
+from ov3det.models import Model3DETR
+from ov3det.parallel import batch_sharding, make_mesh, replicate
+from ov3det.utils import Logger, SmoothedValue
+
+
+def make_args_parser():
+    p = argparse.ArgumentParser("TPU-native open-vocabulary 3D detection")
+    # Optimizer (reference main.py:31-41)
+    p.add_argument("--base_lr", default=5e-4, type=float)
+    p.add_argument("--warm_lr", default=1e-6, type=float)
+    p.add_argument("--warm_lr_epochs", default=9, type=int)
+    p.add_argument("--final_lr", default=1e-6, type=float)
+    p.add_argument("--weight_decay", default=0.1, type=float)
+    p.add_argument("--filter_biases_wd", default=False, action="store_true")
+    p.add_argument("--clip_gradient", default=0.1, type=float)
+    # Encoder (reference main.py:52-62)
+    p.add_argument("--enc_type", default="vanilla", choices=["masked", "vanilla"])
+    p.add_argument("--enc_nlayers", default=3, type=int)
+    p.add_argument("--enc_dim", default=256, type=int)
+    p.add_argument("--enc_ffn_dim", default=128, type=int)
+    p.add_argument("--enc_dropout", default=0.1, type=float)
+    p.add_argument("--enc_nhead", default=4, type=int)
+    p.add_argument("--enc_activation", default="relu", type=str)
+    # Decoder (reference main.py:64-69)
+    p.add_argument("--dec_nlayers", default=8, type=int)
+    p.add_argument("--dec_dim", default=256, type=int)
+    p.add_argument("--dec_ffn_dim", default=256, type=int)
+    p.add_argument("--dec_dropout", default=0.1, type=float)
+    p.add_argument("--dec_nhead", default=4, type=int)
+    # Other model params (reference main.py:71-86)
+    p.add_argument("--mlp_dropout", default=0.3, type=float)
+    p.add_argument("--preenc_npoints", default=2048, type=int)
+    p.add_argument("--pos_embed", default="fourier", choices=["fourier", "sine"])
+    p.add_argument("--nqueries", default=256, type=int)
+    p.add_argument("--use_color", default=False, action="store_true")
+    p.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    # Matcher / losses (reference main.py:89-105)
+    p.add_argument("--matcher_giou_cost", default=2, type=float)
+    p.add_argument("--matcher_cls_cost", default=1, type=float)
+    p.add_argument("--matcher_center_cost", default=0, type=float)
+    p.add_argument("--matcher_objectness_cost", default=0, type=float)
+    p.add_argument("--loss_giou_weight", default=0, type=float)
+    p.add_argument("--loss_sem_cls_weight", default=1, type=float)
+    p.add_argument("--loss_no_object_weight", default=0.2, type=float)
+    p.add_argument("--loss_angle_cls_weight", default=0.1, type=float)
+    p.add_argument("--loss_angle_reg_weight", default=0.5, type=float)
+    p.add_argument("--loss_center_weight", default=5.0, type=float)
+    p.add_argument("--loss_size_weight", default=1.0, type=float)
+    p.add_argument("--loss_2dalignment_weight", default=0.0, type=float)
+    # Dataset (reference main.py:107-176)
+    p.add_argument("--dataset_name", required=True,
+                   choices=["scannet", "sunrgbd", "synthetic"])
+    p.add_argument("--dataset_root_dir", type=str, default=None)
+    p.add_argument("--meta_data_dir", type=str, default=None)
+    p.add_argument("--dataset_num_workers", default=4, type=int)
+    p.add_argument("--batchsize_per_gpu", default=8, type=int)
+    p.add_argument("--num_points", default=None, type=int)
+    p.add_argument("--pseudo_label_dir", type=str, default=None)
+    p.add_argument("--clip_embed_path", type=str, default=None)
+    p.add_argument("--region_clip_ckpt_path", type=str, default=None)
+    p.add_argument("--feature_2d_dir", type=str, default=None)
+    p.add_argument("--use_pbox", default=False, action="store_true")
+    p.add_argument("--use_2d_feature", default=False, action="store_true")
+    p.add_argument("--use_image", default=False, action="store_true")
+    # Training (reference main.py:178-196)
+    p.add_argument("--start_epoch", default=-1, type=int)
+    p.add_argument("--max_epoch", default=720, type=int)
+    p.add_argument("--eval_every_epoch", default=10, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--test_only", default=False, action="store_true")
+    p.add_argument("--test_ckpt", default=None, type=str)
+    p.add_argument("--checkpoint_dir", default=None, type=str)
+    p.add_argument("--log_every", default=10, type=int)
+    p.add_argument("--log_metrics_every", default=20, type=int)
+    p.add_argument("--save_separate_checkpoint_every_epoch", default=100, type=int)
+    p.add_argument("--ngpus", default=1, type=int, help="data-parallel devices")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    num_semcls = {"scannet": 18, "sunrgbd": 20, "synthetic": 18}[args.dataset_name]
+    num_angle_bin = {"scannet": 1, "sunrgbd": 12, "synthetic": 1}[args.dataset_name]
+    num_points = args.num_points or {"scannet": 40000, "sunrgbd": 20000,
+                                     "synthetic": 2048}[args.dataset_name]
+    return TrainConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(
+                kind=args.enc_type,
+                num_layers=args.enc_nlayers,
+                dim=args.enc_dim,
+                ffn_dim=args.enc_ffn_dim,
+                num_heads=args.enc_nhead,
+                dropout=args.enc_dropout,
+                activation=args.enc_activation,
+            ),
+            decoder=DecoderConfig(
+                num_layers=args.dec_nlayers,
+                dim=args.dec_dim,
+                ffn_dim=args.dec_ffn_dim,
+                num_heads=args.dec_nhead,
+                dropout=args.dec_dropout,
+            ),
+            preenc_npoints=args.preenc_npoints,
+            num_queries=args.nqueries,
+            mlp_dropout=args.mlp_dropout,
+            pos_embed=args.pos_embed,
+            use_color=args.use_color,
+            num_semcls=num_semcls,
+            num_angle_bin=num_angle_bin,
+            compute_dtype=args.compute_dtype,
+        ),
+        loss=LossConfig(
+            matcher=MatcherConfig(
+                cost_class=args.matcher_cls_cost,
+                cost_objectness=args.matcher_objectness_cost,
+                cost_center=args.matcher_center_cost,
+                cost_giou=args.matcher_giou_cost,
+            ),
+            giou_weight=args.loss_giou_weight,
+            sem_cls_weight=args.loss_sem_cls_weight,
+            no_object_weight=args.loss_no_object_weight,
+            angle_cls_weight=args.loss_angle_cls_weight,
+            angle_reg_weight=args.loss_angle_reg_weight,
+            center_weight=args.loss_center_weight,
+            size_weight=args.loss_size_weight,
+            alignment_2d_weight=args.loss_2dalignment_weight,
+        ),
+        optim=OptimConfig(
+            base_lr=args.base_lr,
+            warm_lr=args.warm_lr,
+            warm_lr_epochs=args.warm_lr_epochs,
+            final_lr=args.final_lr,
+            weight_decay=args.weight_decay,
+            filter_biases_wd=args.filter_biases_wd,
+            clip_gradient=args.clip_gradient,
+        ),
+        data=DataConfig(
+            dataset_name=args.dataset_name,
+            root_dir=args.dataset_root_dir,
+            meta_data_dir=args.meta_data_dir,
+            pseudo_label_dir=args.pseudo_label_dir,
+            feature_2d_dir=args.feature_2d_dir,
+            num_points=num_points,
+            use_color=args.use_color,
+            use_image=args.use_image,
+            use_pbox=args.use_pbox,
+            use_2d_feature=args.use_2d_feature,
+            num_workers=args.dataset_num_workers,
+            batch_size_per_device=args.batchsize_per_gpu,
+        ),
+        teacher=TeacherConfig(
+            enabled=args.use_image,
+            checkpoint_path=args.region_clip_ckpt_path,
+            text_embed_path=args.clip_embed_path,
+        ),
+        max_epoch=args.max_epoch,
+        eval_every_epoch=args.eval_every_epoch,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        log_every=args.log_every,
+        log_metrics_every=args.log_metrics_every,
+        save_separate_checkpoint_every_epoch=args.save_separate_checkpoint_every_epoch,
+        num_devices=args.ngpus,
+    )
+
+
+def load_text_embed(path, num_semcls, embed_dim):
+    """Load the frozen CLIP text-embedding matrix (reference
+    models/model_3detr.py:417-419 loads a torch .pth; .npy accepted too)."""
+    if path is None:
+        return None
+    if path.endswith(".npy"):
+        emb = np.load(path)
+    else:
+        import torch
+
+        emb = torch.load(path, map_location="cpu").float().numpy()
+    assert emb.shape == (num_semcls + 1, embed_dim), emb.shape
+    return jnp.asarray(emb)
+
+
+def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
+             eval_processes: int = 0):
+    # eval_processes=0: the vectorized per-scan IoU makes the per-class AP
+    # loop fast enough single-process; a >0 value fans out like the
+    # reference's Pool(10) (utils/eval_det.py:253) but forks a JAX process.
+    ap = APCalculator(
+        dataset_config=dataset_config,
+        ap_iou_thresh=[0.25, 0.5],
+        class2type_map=dataset_config.class2type,
+        exact_eval=exact,
+        eval_processes=eval_processes,
+    )
+    for batch in loader:
+        outputs = eval_step(state, batch)
+        ap.step_meter(outputs, batch)
+    return ap
+
+
+def do_train(cfg: TrainConfig, args=None):
+    mesh = make_mesh(cfg.num_devices) if cfg.num_devices > 1 else None
+    sharding = batch_sharding(mesh) if mesh else None
+
+    datasets, dataset_config = build_dataset(cfg.data)
+    train_loader = DataLoader(
+        datasets["train"],
+        batch_size=cfg.data.batch_size_per_device * cfg.num_devices,
+        shuffle=True,
+        num_workers=cfg.data.num_workers,
+        seed=cfg.seed,
+        sharding=sharding,
+    )
+    test_loader = DataLoader(
+        datasets["test"],
+        batch_size=cfg.data.batch_size_per_device * cfg.num_devices,
+        shuffle=False,
+        num_workers=cfg.data.num_workers,
+        sharding=sharding,
+    )
+
+    model = Model3DETR(cfg.model)
+    example = next(iter(test_loader))
+    inputs = {
+        "point_clouds": jnp.asarray(example["point_clouds"]),
+        "point_cloud_dims_min": jnp.asarray(example["point_cloud_dims_min"]),
+        "point_cloud_dims_max": jnp.asarray(example["point_cloud_dims_max"]),
+    }
+    text_embed = load_text_embed(
+        cfg.teacher.text_embed_path, cfg.model.num_semcls, cfg.model.clip_embed_dim
+    )
+    state, train_step, eval_step, schedule = build_training(
+        cfg,
+        model,
+        inputs,
+        iters_per_epoch=len(train_loader),
+        rng=jax.random.PRNGKey(cfg.seed),
+        text_embed=text_embed,
+    )
+    if mesh:
+        state = replicate(state, mesh)
+
+    assert cfg.checkpoint_dir, "set --checkpoint_dir"
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    restored, loaded_epoch, _ = ckpt.restore(jax.device_get(state))
+    if restored is not None:
+        state = replicate(restored, mesh) if mesh else jax.device_put(restored)
+        print(f"resumed from epoch {loaded_epoch}")
+    start_epoch = loaded_epoch + 1
+
+    final_eval = os.path.join(cfg.checkpoint_dir, "final_eval.txt")
+    final_eval_pkl = os.path.join(cfg.checkpoint_dir, "final_eval.pkl")
+    if os.path.isfile(final_eval):
+        print(f"Found final eval file {final_eval}. Skipping training.")
+        return state
+
+    logger = Logger(cfg.checkpoint_dir)
+    best_ap25 = -1.0
+    best_metrics = {}
+    iters_per_epoch = len(train_loader)
+    max_iters = cfg.max_epoch * iters_per_epoch
+
+    for epoch in range(start_epoch, cfg.max_epoch):
+        train_loader.set_epoch(epoch)
+        time_meter, loss_meter = SmoothedValue(10), SmoothedValue(10)
+        train_ap = APCalculator(
+            dataset_config=dataset_config,
+            ap_iou_thresh=[0.25, 0.5],
+            class2type_map=dataset_config.class2type,
+            exact_eval=False,
+            eval_processes=0,
+        )
+        for it, batch in enumerate(train_loader):
+            t0 = time.time()
+            curr_iter = epoch * iters_per_epoch + it
+            state, metrics = train_step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), curr_iter)
+            )
+            if curr_iter % cfg.log_metrics_every == 0:
+                outputs = eval_step(state, batch)
+                train_ap.step_meter(outputs, batch)
+            if curr_iter % cfg.log_every == 0:
+                loss = float(metrics["loss"])  # host sync, amortized
+                if not math.isfinite(loss):
+                    print("Loss is not finite. Training stopped.")
+                    sys.exit(1)
+                loss_meter.update(loss)
+                time_meter.update(time.time() - t0)
+                lr = float(schedule(jnp.asarray(curr_iter)))
+                eta = (max_iters - curr_iter) * time_meter.avg
+                print(
+                    f"Epoch [{epoch}/{cfg.max_epoch}]; Iter [{curr_iter}/{max_iters}]; "
+                    f"Loss {loss_meter.avg:0.2f}; LR {lr:0.2e}; "
+                    f"Iter time {time_meter.avg:0.2f}; ETA {eta:0.0f}s"
+                )
+                logger.log_scalars(
+                    {k: float(v) for k, v in metrics.items()},
+                    curr_iter,
+                    prefix="Train_details/",
+                )
+                logger.log_scalars(
+                    {"lr": lr, "loss": loss_meter.avg, "batch_time": time_meter.avg},
+                    curr_iter,
+                    prefix="Train/",
+                )
+
+        ckpt.save_latest(state, epoch)
+        if (
+            epoch > 0
+            and cfg.save_separate_checkpoint_every_epoch > 0
+            and epoch % cfg.save_separate_checkpoint_every_epoch == 0
+        ):
+            ckpt.save_periodic(state, epoch)
+
+        metrics_all = train_ap.compute_metrics()
+        print(
+            f"Epoch [{epoch}/{cfg.max_epoch}] train "
+            + train_ap.metrics_to_str(metrics_all, per_class=False)
+        )
+        logger.log_scalars(
+            train_ap.metrics_to_dict(metrics_all),
+            epoch * iters_per_epoch,
+            prefix="Train/",
+        )
+
+        if epoch % cfg.eval_every_epoch == 0 or epoch == cfg.max_epoch - 1:
+            ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
+            m = ap.compute_metrics()
+            ap25 = m[0.25]["mAP"]
+            print(f"Evaluate Epoch [{epoch}/{cfg.max_epoch}]")
+            print(ap.metrics_to_str(m, per_class=True))
+            logger.log_scalars(
+                ap.metrics_to_dict(m), epoch * iters_per_epoch, prefix="Test/"
+            )
+            if ap25 > best_ap25:
+                best_ap25 = ap25
+                best_metrics = m
+                ckpt.save_best(state, epoch)
+                print(f"saved new best checkpoint (AP25 {ap25:.4f})")
+
+    # final eval
+    ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
+    m = ap.compute_metrics()
+    with open(final_eval, "w") as fh:
+        fh.write("Training Finished.\nFinal Eval Numbers.\n")
+        fh.write(ap.metrics_to_str(m))
+        fh.write("\nBest Eval Numbers.\n")
+        fh.write(ap.metrics_to_str(best_metrics) if best_metrics else "n/a")
+    with open(final_eval_pkl, "wb") as fh:
+        pickle.dump(m, fh)
+    logger.close()
+    return state
+
+
+def test_model(cfg: TrainConfig):
+    datasets, dataset_config = build_dataset(cfg.data, splits=("test",))
+    test_loader = DataLoader(
+        datasets["test"],
+        batch_size=cfg.data.batch_size_per_device,
+        shuffle=False,
+        num_workers=cfg.data.num_workers,
+    )
+    model = Model3DETR(cfg.model)
+    example = next(iter(test_loader))
+    inputs = {
+        "point_clouds": jnp.asarray(example["point_clouds"]),
+        "point_cloud_dims_min": jnp.asarray(example["point_cloud_dims_min"]),
+        "point_cloud_dims_max": jnp.asarray(example["point_cloud_dims_max"]),
+    }
+    state, _, eval_step, _ = build_training(
+        cfg, model, inputs, iters_per_epoch=1, rng=jax.random.PRNGKey(cfg.seed)
+    )
+    assert cfg.checkpoint_dir, "set --checkpoint_dir (or --test_ckpt dir)"
+    ckpt = CheckpointManager(cfg.checkpoint_dir)
+    restored, epoch, _ = ckpt.restore(jax.device_get(state))
+    assert restored is not None, f"no checkpoint in {cfg.checkpoint_dir}"
+    state = jax.device_put(restored)
+    ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
+    m = ap.compute_metrics()
+    print(f"Test model (epoch {epoch}); Metrics:")
+    print(ap.metrics_to_str(m))
+    return m
+
+
+def main(argv=None):
+    args = make_args_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    np.random.seed(cfg.seed)
+    if args.test_only:
+        test_model(cfg)
+    else:
+        do_train(cfg, args)
+
+
+if __name__ == "__main__":
+    main()
