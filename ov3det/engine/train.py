@@ -61,7 +61,9 @@ def create_train_state(
     rng: jax.Array,
     text_embed: Optional[jnp.ndarray] = None,
 ) -> TrainState:
-    variables = model.init(rng, example_inputs, train=False)
+    # jit the initializer: eager init dispatches thousands of tiny ops,
+    # which is pathological over a remote-device transport
+    variables = jax.jit(partial(model.init, train=False))(rng, example_inputs)
     frozen = dict(variables.get("frozen", {}))
     if text_embed is not None:
         frozen["text_embed"] = jnp.asarray(text_embed)

@@ -1,0 +1,177 @@
+"""CLIP ModifiedResNet image tower + attention pooling (flax, frozen teacher).
+
+TPU-native counterpart of the RN50x4 visual backbone inside RegionCLIP's
+CLIPFastRCNN (external detectron2 dependency of the reference,
+models/model_regionclip.py:15-22).  Architecture follows the public CLIP
+ModifiedResNet design: 3-conv stem with avgpool, anti-aliased downsampling
+(stride-1 convs + avgpool), bottleneck expansion 4, and a final
+AttentionPool2d head producing the 640-d joint-embedding feature.
+
+The tower runs in inference mode only (frozen teacher): BatchNorm always
+uses running statistics, weights are converted from the RegionCLIP torch
+checkpoint via ov3det.models.regionclip.convert_torch_checkpoint.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-only BatchNorm: y = (x - mean) / sqrt(var + eps) * scale + bias."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        mean = self.param("mean", nn.initializers.zeros, (C,))
+        var = self.param("var", nn.initializers.ones, (C,))
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
+def _avg_pool(x, window, stride):
+    return nn.avg_pool(x, (window, window), strides=(stride, stride))
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        expansion = 4
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = FrozenBatchNorm(name="bn2")(out)
+        out = nn.relu(out)
+        if self.stride > 1:  # anti-aliased: avgpool instead of strided conv
+            out = _avg_pool(out, self.stride, self.stride)
+        out = nn.Conv(self.planes * expansion, (1, 1), use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(name="bn3")(out)
+
+        identity = x
+        if self.stride > 1 or x.shape[-1] != self.planes * expansion:
+            identity = _avg_pool(x, self.stride, self.stride) if self.stride > 1 else x
+            identity = nn.Conv(
+                self.planes * expansion, (1, 1), use_bias=False, name="downsample_conv"
+            )(identity)
+            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    embed_dim: int
+    num_heads: int
+    spacial_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) -> (B, output_dim)."""
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, 1+HW, C)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=C**-0.5),
+            (self.spacial_dim**2 + 1, C),
+        )
+        # checkpoints carry the training-resolution grid; interpolate if the
+        # runtime spatial size differs (detectron2 RegionCLIP does the same)
+        if pos.shape[0] != H * W + 1:
+            cls_pos, grid = pos[:1], pos[1:]
+            side = int(round((pos.shape[0] - 1) ** 0.5))
+            grid = grid.reshape(side, side, C)
+            grid = jax.image.resize(grid, (H, W, C), method="bilinear")
+            pos = jnp.concatenate([cls_pos, grid.reshape(H * W, C)], axis=0)
+        tokens = tokens + pos[None]
+
+        q = nn.Dense(C, name="q_proj")(tokens[:, :1])
+        k = nn.Dense(C, name="k_proj")(tokens)
+        v = nn.Dense(C, name="v_proj")(tokens)
+        hd = C // self.num_heads
+        q = q.reshape(B, 1, self.num_heads, hd)
+        k = k.reshape(B, -1, self.num_heads, hd)
+        v = v.reshape(B, -1, self.num_heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=_HI) / jnp.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, precision=_HI).reshape(B, 1, C)
+        return nn.Dense(self.output_dim, name="c_proj")(out)[:, 0]
+
+
+class ModifiedResNetStem(nn.Module):
+    width: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.width
+        x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(name="bn1")(x))
+        x = nn.Conv(w // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x)
+        x = nn.relu(FrozenBatchNorm(name="bn2")(x))
+        x = nn.Conv(w, (3, 3), padding=1, use_bias=False, name="conv3")(x)
+        x = nn.relu(FrozenBatchNorm(name="bn3")(x))
+        return _avg_pool(x, 2, 2)
+
+
+class ResNetStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, name=f"block{i}")(x)
+        return x
+
+
+class CLIPResNetBackbone(nn.Module):
+    """Stem + res2..res4 (stride 16) — the region-feature trunk."""
+
+    width: int = 80  # RN50x4
+    layers: Sequence[int] = (4, 6, 10, 6)
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.width
+        x = ModifiedResNetStem(w, name="stem")(x)
+        x = ResNetStage(w, self.layers[0], 1, name="layer1")(x)
+        x = ResNetStage(w * 2, self.layers[1], 2, name="layer2")(x)
+        x = ResNetStage(w * 4, self.layers[2], 2, name="layer3")(x)
+        return x  # (B, H/16, W/16, width*16)
+
+
+class CLIPResNetRes5Head(nn.Module):
+    """res5 stage + attention pooling over RoI features."""
+
+    width: int = 80
+    blocks: int = 6
+    embed_dim: int = 640
+    image_resolution: int = 288
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (R, P, P, width*16) pooled RoI features -> (R, embed_dim)."""
+        x = ResNetStage(self.width * 8, self.blocks, 2, name="layer4")(x)
+        heads = self.width * 32 // 64
+        return AttentionPool2d(
+            embed_dim=self.width * 32,
+            num_heads=heads,
+            spacial_dim=self.image_resolution // 32,
+            output_dim=self.embed_dim,
+            name="attnpool",
+        )(x)

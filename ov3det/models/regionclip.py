@@ -1,0 +1,193 @@
+"""Frozen RegionCLIP 2D teacher: region features for given crop boxes.
+
+Counterpart of the reference's detectron2 CLIPFastRCNN usage
+(reference models/model_regionclip.py:15-22; invoked from the criterion at
+criterion.py:363-399): given full images and per-query projected 2D boxes,
+extract 640-d CLIP-space region features:
+
+    image -> ModifiedResNet stem..res4 (stride 16)
+          -> RoIAlign(pooler 18x18, scale 1/16) on the predicted boxes
+          -> res5 -> AttentionPool -> (B*Q, 640)
+
+Entirely frozen; the distillation loss aligns the detector's
+visual_embed_head output with these features (criterion.py:132-141).
+
+Weight conversion from the `regionclip_pretrained-cc_rn50x4.pth` detectron2
+checkpoint is provided (convert_torch_checkpoint); with no checkpoint the
+tower runs with random weights (useful for tests and wiring).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ov3det.models.clip_resnet import CLIPResNetBackbone, CLIPResNetRes5Head
+from ov3det.ops.roi_align import roi_align
+
+# CLIP RGB normalization (the scale detectron2's CLIP models use)
+_PIXEL_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32) * 255.0
+_PIXEL_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32) * 255.0
+
+
+class RegionCLIPTeacher(nn.Module):
+    width: int = 80  # RN50x4
+    layers: tuple = (4, 6, 10, 6)
+    embed_dim: int = 640
+    pooler_resolution: int = 18
+    pooler_scale: float = 1.0 / 16.0
+    image_resolution: int = 288
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) raw RGB in [0, 255];
+        boxes: (B, Q, 4) [x1, y1, x2, y2] pixels.
+        Returns (B, Q, embed_dim) region features."""
+        B, Q = boxes.shape[:2]
+        x = (images - _PIXEL_MEAN) / _PIXEL_STD
+        feat = CLIPResNetBackbone(self.width, self.layers, name="backbone")(x)
+        flat_boxes = boxes.reshape(B * Q, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Q)
+        pooled = roi_align(
+            feat,
+            flat_boxes,
+            batch_idx,
+            spatial_scale=self.pooler_scale,
+            output_size=self.pooler_resolution,
+        )
+        emb = CLIPResNetRes5Head(
+            self.width,
+            self.layers[3],
+            self.embed_dim,
+            self.image_resolution,
+            name="roi_head",
+        )(pooled)
+        return emb.reshape(B, Q, self.embed_dim)
+
+
+def make_teacher_fn(teacher: RegionCLIPTeacher, variables, image_hw):
+    """Build the criterion hook: (batch, outputs) -> (B, Q, 640) features.
+
+    Hoists the teacher out of the aux-layer loop (the reference re-runs it
+    per decoder layer, criterion.py:434-442): features are computed once on
+    the FINAL layer's boxes.
+    """
+    from ov3det.utils.calibration import SunrgbdCalibration, project_boxes_to_image
+
+    def teacher_fn(batch, outputs):
+        calib = SunrgbdCalibration(batch["calib_Rtilt"], batch["calib_K"])
+        boxes = project_boxes_to_image(
+            calib,
+            jax.lax.stop_gradient(outputs["center_unnormalized"][-1]),
+            jax.lax.stop_gradient(outputs["size_unnormalized"][-1]),
+            jax.lax.stop_gradient(outputs["angle_continuous"][-1]),
+            image_hw=jnp.stack([batch["image_height"], batch["image_width"]], -1),
+        )
+        B = boxes.shape[0]
+        h, w = image_hw
+        images = batch["image"][:, : h * w * 3].reshape(B, h, w, 3)
+        feats = teacher.apply(variables, images, boxes)
+        return jax.lax.stop_gradient(feats)
+
+    return teacher_fn
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def _bn(params, prefix):
+    return {
+        "scale": params[f"{prefix}.weight"],
+        "bias": params[f"{prefix}.bias"],
+        "mean": params[f"{prefix}.running_mean"],
+        "var": params[f"{prefix}.running_var"],
+    }
+
+
+def _conv(params, key):
+    # torch OIHW -> flax HWIO
+    return {"kernel": np.transpose(params[key], (2, 3, 1, 0))}
+
+
+def _block(params, prefix):
+    out = {
+        "conv1": _conv(params, f"{prefix}.conv1.weight"),
+        "bn1": _bn(params, f"{prefix}.bn1"),
+        "conv2": _conv(params, f"{prefix}.conv2.weight"),
+        "bn2": _bn(params, f"{prefix}.bn2"),
+        "conv3": _conv(params, f"{prefix}.conv3.weight"),
+        "bn3": _bn(params, f"{prefix}.bn3"),
+    }
+    if f"{prefix}.downsample.0.weight" in params:
+        out["downsample_conv"] = _conv(params, f"{prefix}.downsample.0.weight")
+        out["downsample_bn"] = _bn(params, f"{prefix}.downsample.1")
+    return out
+
+
+def _stage(params, prefix, blocks):
+    return {f"block{i}": _block(params, f"{prefix}.{i}") for i in range(blocks)}
+
+
+def convert_torch_checkpoint(
+    path: str, layers=(4, 6, 10, 6), visual_prefix: Optional[str] = None
+) -> dict:
+    """Convert a RegionCLIP/CLIP torch checkpoint into this module's params.
+
+    Accepts either a raw CLIP state dict (keys `visual.*`) or a detectron2
+    RegionCLIP checkpoint ({"model": {"backbone.visual.*": ...}}).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    if visual_prefix is None:
+        for cand in ("backbone.visual", "visual", "backbone"):
+            if any(k.startswith(cand + ".conv1") for k in sd):
+                visual_prefix = cand
+                break
+    assert visual_prefix is not None, f"no visual tower found in {list(sd)[:5]}"
+    v = {k[len(visual_prefix) + 1:]: a for k, a in sd.items() if k.startswith(visual_prefix + ".")}
+
+    backbone = {
+        "stem": {
+            "conv1": _conv(v, "conv1.weight"),
+            "bn1": _bn(v, "bn1"),
+            "conv2": _conv(v, "conv2.weight"),
+            "bn2": _bn(v, "bn2"),
+            "conv3": _conv(v, "conv3.weight"),
+            "bn3": _bn(v, "bn3"),
+        },
+        "layer1": _stage(v, "layer1", layers[0]),
+        "layer2": _stage(v, "layer2", layers[1]),
+        "layer3": _stage(v, "layer3", layers[2]),
+    }
+    embed_dim_in = v["attnpool.k_proj.weight"].shape[1]
+    attnpool = {
+        "positional_embedding": v["attnpool.positional_embedding"],
+        "q_proj": {
+            "kernel": v["attnpool.q_proj.weight"].T,
+            "bias": v["attnpool.q_proj.bias"],
+        },
+        "k_proj": {
+            "kernel": v["attnpool.k_proj.weight"].T,
+            "bias": v["attnpool.k_proj.bias"],
+        },
+        "v_proj": {
+            "kernel": v["attnpool.v_proj.weight"].T,
+            "bias": v["attnpool.v_proj.bias"],
+        },
+        "c_proj": {
+            "kernel": v["attnpool.c_proj.weight"].T,
+            "bias": v["attnpool.c_proj.bias"],
+        },
+    }
+    roi_head = {"layer4": _stage(v, "layer4", layers[3]), "attnpool": attnpool}
+    del embed_dim_in
+    return {"params": {"backbone": backbone, "roi_head": roi_head}}

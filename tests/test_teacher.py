@@ -1,0 +1,136 @@
+"""Tests: SUN RGB-D calibration parity, RoIAlign correctness, teacher shapes."""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import add_reference_to_path, reference_available, stub_module
+
+from ov3det.ops.roi_align import roi_align
+from ov3det.utils.calibration import (
+    SunrgbdCalibration,
+    box_corners_upright_depth,
+    project_boxes_to_image,
+)
+
+add_reference_to_path()
+stub_module(
+    "torchvision.transforms",
+    InterpolationMode=object, Compose=object, Resize=object, CenterCrop=object,
+    ToTensor=object, Normalize=object,
+)
+stub_module("imageio", imread=None)
+
+import torch  # noqa: E402
+
+
+def random_calib(rng):
+    # Rtilt: small tilt rotation; K: plausible intrinsics
+    a, b = rng.uniform(-0.2, 0.2, 2)
+    Rx = np.array(
+        [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+    )
+    Ry = np.array(
+        [[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]]
+    )
+    Rtilt = (Rx @ Ry).astype(np.float32)
+    K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
+    return Rtilt, K
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+class TestCalibrationParity:
+    def test_project_to_image_matches_reference(self):
+        from utils.image_util import SUNRGBD_Calibration_cuda
+
+        rng = np.random.default_rng(0)
+        Rtilt, K = random_calib(rng)
+        pts = rng.uniform(-2, 4, size=(50, 3)).astype(np.float32)
+        pts[:, 1] = np.abs(pts[:, 1]) + 1.0  # in front of the camera
+
+        ref_calib = SUNRGBD_Calibration_cuda(torch.from_numpy(Rtilt), torch.from_numpy(K))
+        ref_uv, ref_d = ref_calib.project_upright_depth_to_image(
+            torch.from_numpy(pts.copy())
+        )
+        ours = SunrgbdCalibration(jnp.asarray(Rtilt), jnp.asarray(K))
+        uv, d = ours.project_upright_depth_to_image(jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(uv), ref_uv.numpy(), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(d), ref_d.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_image_round_trip(self):
+        rng = np.random.default_rng(1)
+        Rtilt, K = random_calib(rng)
+        calib = SunrgbdCalibration(jnp.asarray(Rtilt), jnp.asarray(K))
+        pts = rng.uniform(-2, 4, size=(30, 3)).astype(np.float32)
+        pts[:, 1] = np.abs(pts[:, 1]) + 1.0
+        uv, depth = calib.project_upright_depth_to_image(jnp.asarray(pts))
+        back = calib.project_image_to_upright_depth(
+            jnp.concatenate([uv, depth[:, None]], axis=-1)
+        )
+        np.testing.assert_allclose(np.asarray(back), pts, atol=1e-3)
+
+    def test_box_projection_shapes_and_clamp(self):
+        rng = np.random.default_rng(2)
+        Rtilt, K = random_calib(rng)
+        calib = SunrgbdCalibration(
+            jnp.asarray(Rtilt[None]), jnp.asarray(K[None])
+        )
+        centers = jnp.asarray(rng.uniform(-1, 1, size=(1, 5, 3)).astype(np.float32))
+        centers = centers.at[..., 1].add(3.0)
+        sizes = jnp.asarray(rng.uniform(0.4, 1.5, size=(1, 5, 3)).astype(np.float32))
+        angles = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(1, 5)).astype(np.float32))
+        hw = jnp.asarray([[530, 730]])
+        boxes = project_boxes_to_image(calib, centers, sizes, angles, hw)
+        b = np.asarray(boxes)
+        assert b.shape == (1, 5, 4)
+        assert (b[..., 0] >= 0).all() and (b[..., 2] <= 730).all()
+        assert (b[..., 1] >= 0).all() and (b[..., 3] <= 530).all()
+        assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
+
+
+class TestRoIAlign:
+    def test_constant_feature(self):
+        feat = jnp.full((1, 16, 16, 3), 7.0)
+        boxes = jnp.asarray([[2.0, 2.0, 10.0, 10.0]])
+        out = roi_align(feat, boxes, jnp.asarray([0]), 1.0, 4)
+        np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+    def test_linear_ramp_bilinear_exact(self):
+        # f(x, y) = x: averaging bilinear samples of a linear function gives
+        # the analytic bin-center mean
+        H = W = 32
+        xs = np.arange(W, dtype=np.float32)
+        feat = jnp.asarray(np.tile(xs[None, :, None], (H, 1, 1))[None])
+        box = [4.0, 4.0, 20.0, 20.0]
+        out = roi_align(feat, jnp.asarray([box]), jnp.asarray([0]), 1.0, 4)
+        out = np.asarray(out)[0, :, :, 0]
+        bin_w = (box[2] - box[0]) / 4
+        expected_cols = box[0] - 0.5 + (np.arange(4) + 0.5) * bin_w
+        for j in range(4):
+            np.testing.assert_allclose(out[:, j], expected_cols[j], atol=1e-4)
+
+    def test_batch_index_routing(self):
+        feat = jnp.stack([jnp.zeros((8, 8, 1)), jnp.ones((8, 8, 1))])
+        boxes = jnp.asarray([[1.0, 1.0, 6.0, 6.0], [1.0, 1.0, 6.0, 6.0]])
+        out = roi_align(feat, boxes, jnp.asarray([0, 1]), 1.0, 2)
+        assert float(np.asarray(out)[0].max()) == 0.0
+        assert float(np.asarray(out)[1].min()) == 1.0
+
+
+class TestTeacherTower:
+    def test_region_features_shape(self):
+        from ov3det.models.regionclip import RegionCLIPTeacher
+
+        teacher = RegionCLIPTeacher(width=16, layers=(1, 1, 1, 1), embed_dim=64,
+                                    pooler_resolution=6, image_resolution=64)
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(rng.uniform(0, 255, size=(2, 64, 64, 3)).astype(np.float32))
+        boxes = jnp.asarray(
+            np.stack([[[4, 4, 40, 40], [10, 10, 30, 50]]] * 2).astype(np.float32)
+        )
+        variables = jax.jit(lambda: teacher.init(jax.random.PRNGKey(0), images, boxes))()
+        out = jax.jit(teacher.apply)(variables, images, boxes)
+        assert out.shape == (2, 2, 64)
+        assert np.isfinite(np.asarray(out)).all()
