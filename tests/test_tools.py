@@ -1,0 +1,200 @@
+"""Pseudo-label tool parity tests vs the reference 3DOVDet_tools code."""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+from ov3det.tools import (
+    LabelFormatter,
+    PRCalculator,
+    assign_box_label_from_gt,
+    box_3d_iou,
+    cs2vv,
+    distribute_boxes,
+    gss_nms,
+    vv2cs,
+)
+from ov3det.tools.projection_np import ProjectionHelper
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference repo absent")
+
+
+def load_ref_module(rel_path, name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REFERENCE_ROOT, rel_path)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ref_box3d = load_ref_module("3DOVDet_tools/utils/box_3d_utils.py", "ref_box3d")
+
+
+class TestBox3dUtils:
+    def test_iou_matches(self):
+        rng = np.random.default_rng(0)
+        mn = rng.uniform(-2, 2, size=(10, 3))
+        boxes = np.concatenate([mn, mn + rng.uniform(0.2, 2, size=(10, 3))], 1)
+        q = boxes[0]
+        np.testing.assert_allclose(
+            box_3d_iou(q, boxes), ref_box3d.box_3d_iou(q, boxes.copy()), atol=1e-9
+        )
+        # center-size layout
+        cs = vv2cs(boxes.copy())
+        np.testing.assert_allclose(
+            box_3d_iou(cs[0], cs, typ="cs"),
+            ref_box3d.box_3d_iou(cs[0].copy(), cs.copy(), typ="cs"),
+            atol=1e-9,
+        )
+
+    def test_vv_cs_roundtrip(self):
+        rng = np.random.default_rng(1)
+        mn = rng.uniform(-2, 2, size=(6, 3))
+        boxes = np.concatenate(
+            [mn, mn + rng.uniform(0.2, 2, size=(6, 3)), rng.uniform(size=(6, 2))], 1
+        )
+        np.testing.assert_allclose(cs2vv(vv2cs(boxes.copy())), boxes, atol=1e-9)
+        # parity with the reference's in-place versions
+        np.testing.assert_allclose(vv2cs(boxes.copy()), ref_box3d.vv2cs(boxes.copy()), atol=1e-9)
+
+    @pytest.mark.parametrize("kwargs", [
+        {"class_wise": True},
+        {"class_wise": False},
+        {"use_size_score": True, "class_wise": True, "size_typ": "Volume"},
+    ])
+    def test_gss_nms_matches(self, kwargs):
+        rng = np.random.default_rng(2)
+        K = 30
+        mn = rng.uniform(-2, 2, size=(K, 3))
+        rows = np.concatenate(
+            [
+                mn,
+                mn + rng.uniform(0.3, 1.5, size=(K, 3)),
+                rng.uniform(0.1, 1, size=(K, 1)),
+                rng.integers(0, 3, size=(K, 1)).astype(float),
+                rng.uniform(0.1, 2, size=(K, 2)),
+            ],
+            1,
+        )
+        ours = gss_nms(rows.copy(), 0.3, **kwargs)
+        ref = ref_box3d.nms_3d_faster(rows.copy(), 0.3, **kwargs)
+        np.testing.assert_allclose(np.sort(ours[:, 0]), np.sort(ref[:, 0]), atol=1e-9)
+
+
+class TestProjectionHelper:
+    def _setup(self):
+        proj = ProjectionHelper(0.1, 10.0, (240, 320))
+        intr = np.array(
+            [[577.87, 0, 319.5, 0], [0, 577.87, 239.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+        )
+        return proj, proj.resize_intrinsic(intr)
+
+    def test_frustum_contains_projected_points(self):
+        proj, intr = self._setup()
+        pose = np.eye(4)  # camera at origin looking +z
+        box2d = np.array([80.0, 60.0, 120.0, 100.0, 0.9, 3.0])  # xywh in 320x240
+        cc = proj.compute_frustum_corners(pose, box2d, intr)
+        normals = proj.compute_frustum_normals(cc)
+        # points straight ahead inside the frustum's central cone
+        rng = np.random.default_rng(3)
+        depths = rng.uniform(0.5, 5.0, 64)
+        u = rng.uniform(box2d[0] + 10, box2d[0] + box2d[2] - 10, 64)
+        v = rng.uniform(box2d[1] + 10, box2d[1] + box2d[3] - 10, 64)
+        pts_in = proj.depth2xyz(u, v, depths, intr)
+        mask = proj.points_in_frustum(cc, normals, pts_in)
+        assert mask.mean() > 0.95
+        # points far outside the box's cone must be excluded
+        u_out = rng.uniform(0, box2d[0] - 40, 64)
+        pts_out = proj.depth2xyz(u_out, v, depths, intr)
+        mask_out = proj.points_in_frustum(cc, normals, pts_out)
+        assert mask_out.mean() < 0.05
+
+    def test_compute_frustum_box_lifts_aabb(self):
+        proj, intr = self._setup()
+        pose = np.eye(4)
+        rng = np.random.default_rng(4)
+        # scene: one labeled cluster in front of the camera
+        cluster = rng.normal(scale=0.2, size=(200, 3)) + np.array([0.0, 0.0, 2.0])
+        bg = rng.uniform(-4, 4, size=(300, 3)) + np.array([0, 0, 6.0])
+        points = np.concatenate([cluster, bg])
+        labels = np.concatenate([np.full(200, 5), np.full(300, 2)])
+        # 2D box covering the cluster's projection (center of image)
+        box2d = np.array([100.0, 80.0, 120.0, 90.0, 0.8, 5.0])
+        lifted = proj.compute_frustum_box(
+            points, None, pose, [box2d], labels, np.eye(4), intr, view="multi"
+        )
+        assert lifted.shape[0] == 1
+        mn, mx = lifted[0, :3], lifted[0, 3:6]
+        assert (mx - mn < 1.8).all()  # tight around the cluster
+        assert abs((mn[2] + mx[2]) / 2 - 2.0) < 0.5
+
+
+class TestLabelFormatterAndTools:
+    def test_label_formatter_pipeline(self, tmp_path):
+        rng = np.random.default_rng(5)
+        n_pts = 500
+        # scene points with semantic labels; one box of class 3
+        pts = rng.uniform(-2, 2, size=(n_pts, 3)).astype(np.float32)
+        sem = rng.integers(0, 18, size=(n_pts, 1)).astype(np.float32)
+        inside = np.all(np.abs(pts - 0.5) < 0.4, -1)
+        sem[inside] = 3.0
+        label_dir = tmp_path / "labels"
+        label_dir.mkdir()
+        np.save(label_dir / "scene0000_00.npy", np.concatenate([pts, sem], 1))
+
+        fmt = LabelFormatter(str(tmp_path / "out"), str(label_dir), ["scene0000_00"])
+        Q = 4
+        outputs = {
+            "sem_cls_prob": np.zeros((1, Q, 18), np.float32),
+            "objectness_prob": np.full((1, Q), 0.95, np.float32),
+            "center_unnormalized": np.tile(
+                np.array([0.5, 0.5, 0.5], np.float32)[None, None], (1, Q, 1)
+            ),
+            "size_unnormalized": np.full((1, Q, 3), 0.8, np.float32),
+        }
+        outputs["sem_cls_prob"][..., 3] = 0.9
+        batch = {"scan_idx": np.array([0])}
+        fmt.step(outputs, batch)
+        n = fmt.process(topk=10, th_s=0.5, th_o=0.5, processes=0)
+        assert n == Q  # all boxes agree with the modal label
+        saved = np.load(tmp_path / "out" / "scene0000_00_bbox.npy")
+        assert saved.shape == (Q, 7)
+        assert (saved[:, 6] == 3).all()
+
+    def test_assign_box_label_from_gt(self):
+        rng = np.random.default_rng(6)
+        pts = rng.uniform(-1, 1, size=(400, 3))
+        sem = np.where(pts[:, 0] > 0, 7, 2)
+        props = np.array([[0.5, 0, 0, 0.8, 1.5, 1.5], [-0.5, 0, 0, 0.8, 1.5, 1.5]])
+        out = assign_box_label_from_gt(props, pts, sem)
+        assert out.shape == (2, 8)
+        assert out[0, 6] == 7 and out[1, 6] == 2
+
+    def test_distribute_boxes(self, tmp_path):
+        preds = [
+            {
+                "image_id": 17,
+                "instances": [
+                    {"score": 0.9, "category_id": 2, "bbox": [1, 2, 3, 4]},
+                    {"score": 0.5, "category_id": 2, "bbox": [1, 2, 3, 4]},  # below thresh
+                    {"score": 0.9, "category_id": 30, "bbox": [1, 2, 3, 4]},  # bg
+                ],
+            }
+        ]
+        n = distribute_boxes(preds, str(tmp_path), score_thresh=0.7)
+        assert n == 1
+        arr = np.load(tmp_path / "17.npy")
+        assert arr.shape == (1, 6)
+        np.testing.assert_allclose(arr[0], [1, 2, 3, 4, 0.9, 2])
+
+    def test_pr_calculator(self):
+        calc = PRCalculator(ap_iou_thresh=0.25)
+        gt = [[(0, np.array([0, 0, 0, 1, 1, 1.0]))]]
+        preds_good = [[(0, np.array([0.05, 0, 0, 1.05, 1, 1.0]), 0.9)]]
+        calc.step(preds_good, gt)
+        m = calc.compute_metrics()
+        assert m["AR"] == 1.0 and m["mPrecision"] == 1.0
