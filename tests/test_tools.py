@@ -136,10 +136,11 @@ class TestProjectionHelper:
 class TestLabelFormatterAndTools:
     def test_label_formatter_pipeline(self, tmp_path):
         rng = np.random.default_rng(5)
-        n_pts = 500
-        # scene points with semantic labels; one box of class 3
-        pts = rng.uniform(-2, 2, size=(n_pts, 3)).astype(np.float32)
-        sem = rng.integers(0, 18, size=(n_pts, 1)).astype(np.float32)
+        # scene: background points + a dense class-3 cluster inside the box
+        bg = rng.uniform(-2, 2, size=(450, 3)).astype(np.float32)
+        cluster = rng.uniform(0.2, 0.8, size=(50, 3)).astype(np.float32)
+        pts = np.concatenate([bg, cluster])
+        sem = rng.integers(0, 18, size=(500, 1)).astype(np.float32)
         inside = np.all(np.abs(pts - 0.5) < 0.4, -1)
         sem[inside] = 3.0
         label_dir = tmp_path / "labels"
