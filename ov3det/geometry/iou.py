@@ -32,78 +32,100 @@ _EPS = 1e-8
 _MAX_VERTS = 8  # convex quad clipped by a convex quad has <= 8 vertices
 
 
-def _clip_by_edge(poly: jnp.ndarray, n: jnp.ndarray, cp1: jnp.ndarray, cp2: jnp.ndarray):
-    """One Sutherland–Hodgman half-plane clip step.
+def _clip_by_edge_batched(poly: jnp.ndarray, n: jnp.ndarray, cp1: jnp.ndarray, cp2: jnp.ndarray):
+    """One Sutherland–Hodgman half-plane clip step, batched over P polygons.
 
-    poly: (V, 2) vertex buffer with the first `n` slots valid.
-    cp1, cp2: (2,) endpoints of the (ccw) clip edge; "inside" is the left side.
-    Returns (new_poly (V, 2), new_n).
+    poly: (P, V, 2) vertex buffers with the first n[p] slots valid; cp1/cp2:
+    (P, 2) endpoints of each (ccw) clip edge — "inside" is the left side.
+    Returns (new_poly (P, V, 2), new_n (P,)).
+
+    Sort/gather-free: the output slot of every candidate vertex is its
+    emission-order rank, computed with a prefix sum, and the compaction is a
+    one-hot contraction — TPU-friendly VPU/MXU work instead of the
+    per-polygon argsort+gather a naive implementation needs (that gather
+    dominated the training step, ~580 ms/batch at SUN RGB-D sizes).
     """
-    V = poly.shape[0]
+    P, V, _ = poly.shape
     idx = jnp.arange(V)
-    valid = idx < n
-    n_safe = jnp.maximum(n, 1)
-    prev_idx = jnp.mod(idx - 1 + n_safe, n_safe)
-    s = poly[prev_idx]  # previous vertex (wrapping over the live range)
+    valid = idx[None, :] < n[:, None]  # (P, V)
+    # previous live vertex: shift by one with slot n-1 wrapped into slot -1
+    prev = jnp.roll(poly, 1, axis=1)  # slot 0 <- slot V-1 (fixed below)
+    last_live = jnp.sum(
+        jnp.where((idx[None, :, None] == (n[:, None, None] - 1)), poly, 0.0), axis=1
+    )  # (P, 2)
+    s = prev.at[:, 0, :].set(last_live)
     e = poly
 
     def side(p):
         # strict ">" matches the reference inside() (utils/box_util.py:399-401)
-        return (cp2[0] - cp1[0]) * (p[..., 1] - cp1[1]) - (cp2[1] - cp1[1]) * (
-            p[..., 0] - cp1[0]
-        )
+        return (cp2[:, None, 0] - cp1[:, None, 0]) * (p[..., 1] - cp1[:, None, 1]) - (
+            cp2[:, None, 1] - cp1[:, None, 1]
+        ) * (p[..., 0] - cp1[:, None, 0])
 
     inside_e = side(e) > 0
     inside_s = side(s) > 0
 
-    # Line-line intersection of edge (s, e) with the clip line (cp1, cp2).
-    dc = cp1 - cp2
+    # line-line intersection of each edge (s, e) with the clip line
+    dc = cp1 - cp2  # (P, 2)
     dp = s - e
-    n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]
-    n2 = s[..., 0] * e[..., 1] - s[..., 1] * e[..., 0]
-    den = dc[0] * dp[..., 1] - dc[1] * dp[..., 0]
+    n1 = cp1[:, 0] * cp2[:, 1] - cp1[:, 1] * cp2[:, 0]  # (P,)
+    n2 = s[..., 0] * e[..., 1] - s[..., 1] * e[..., 0]  # (P, V)
+    den = dc[:, None, 0] * dp[..., 1] - dc[:, None, 1] * dp[..., 0]
     den = jnp.where(jnp.abs(den) < _EPS, _EPS, den)
     inter = jnp.stack(
-        [(n1 * dp[..., 0] - n2 * dc[0]) / den, (n1 * dp[..., 1] - n2 * dc[1]) / den],
+        [
+            (n1[:, None] * dp[..., 0] - n2 * dc[:, None, 0]) / den,
+            (n1[:, None] * dp[..., 1] - n2 * dc[:, None, 1]) / den,
+        ],
         axis=-1,
-    )
+    )  # (P, V, 2)
 
-    # Emission schedule per input vertex (intersection first, then e itself).
+    # emission schedule per input vertex: intersection first, then e itself
     emit_inter = valid & (inside_e != inside_s)
     emit_e = valid & inside_e
+    cand = jnp.stack([inter, e], axis=2).reshape(P, 2 * V, 2)
+    flags = jnp.stack([emit_inter, emit_e], axis=2).reshape(P, 2 * V)
 
-    # Interleaved slot order: [inter_0, e_0, inter_1, e_1, ...]
-    cand = jnp.stack([inter, e], axis=1).reshape(2 * V, 2)
-    flags = jnp.stack([emit_inter, emit_e], axis=1).reshape(2 * V)
-
-    # Order-preserving compaction: sort by (invalid, slot).
-    keys = jnp.where(flags, jnp.arange(2 * V), 2 * V)
-    order = jnp.argsort(keys)
-    compacted = cand[order][:V]
-    new_n = jnp.minimum(jnp.sum(flags), V)
+    # rank-based compaction: slot_k = (#flags before k); one-hot contraction
+    rank = jnp.cumsum(flags, axis=1) - 1  # (P, 2V)
+    onehot = (rank[:, :, None] == jnp.arange(V)[None, None, :]) & flags[:, :, None]
+    compacted = jnp.einsum(
+        "pkv,pkc->pvc", onehot.astype(poly.dtype), cand,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    new_n = jnp.minimum(jnp.sum(flags, axis=1), V)
     return compacted, new_n
 
 
-def _poly_area(poly: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
-    """Shoelace area of the first n vertices of poly (V, 2)."""
-    V = poly.shape[0]
+def _poly_area_batched(poly: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace area of the first n[p] vertices of each poly (P, V, 2)."""
+    P, V, _ = poly.shape
     idx = jnp.arange(V)
-    valid = idx < n
-    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
-    x, y = poly[..., 0], poly[..., 1]
-    cross = x * y[nxt] - y * x[nxt]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0)))
+    valid = idx[None, :] < n[:, None]
+    nxt = jnp.roll(poly, -1, axis=1)  # slot k <- k+1 (slot V-1 <- 0, unused)
+    first = poly[:, 0, :]
+    # successor of the last live vertex wraps to vertex 0
+    is_last = idx[None, :] == (n[:, None] - 1)
+    nxt = jnp.where(is_last[:, :, None], first[:, None, :], nxt)
+    cross = poly[..., 0] * nxt[..., 1] - poly[..., 1] * nxt[..., 0]
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0), axis=1))
+
+
+def _quad_intersection_area_batched(subject: jnp.ndarray, clip: jnp.ndarray) -> jnp.ndarray:
+    """Intersection areas of P pairs of ccw convex quads: (P,4,2)x(P,4,2)->(P,)."""
+    P = subject.shape[0]
+    poly = jnp.concatenate(
+        [subject, jnp.zeros((P, _MAX_VERTS - 4, 2), subject.dtype)], axis=1
+    )
+    n = jnp.full((P,), 4, jnp.int32)
+    for k in range(4):
+        poly, n = _clip_by_edge_batched(poly, n, clip[:, (k - 1) % 4], clip[:, k])
+    return _poly_area_batched(poly, n)
 
 
 def _quad_intersection_area(subject: jnp.ndarray, clip: jnp.ndarray) -> jnp.ndarray:
-    """Area of intersection between two ccw convex quads, (4,2) each."""
-    poly = jnp.zeros((_MAX_VERTS, 2), subject.dtype).at[:4].set(subject)
-    n = jnp.asarray(4, jnp.int32)
-    for k in range(4):
-        cp1 = clip[(k - 1) % 4]
-        cp2 = clip[k]
-        poly, n = _clip_by_edge(poly, n, cp1, cp2)
-    return _poly_area(poly, n)
+    """Single-pair convenience wrapper."""
+    return _quad_intersection_area_batched(subject[None], clip[None])[0]
 
 
 def rotated_bev_intersection_area(rect1: jnp.ndarray, rect2: jnp.ndarray) -> jnp.ndarray:
@@ -120,7 +142,7 @@ def rotated_bev_intersection_area(rect1: jnp.ndarray, rect2: jnp.ndarray) -> jnp
     r2 = jnp.broadcast_to(
         rect2[..., None, :, :, :], batch_shape + (K1, K2, 4, 2)
     ).reshape(-1, 4, 2)
-    areas = jax.vmap(_quad_intersection_area)(r1, r2)
+    areas = _quad_intersection_area_batched(r1, r2)
     return areas.reshape(batch_shape + (K1, K2))
 
 

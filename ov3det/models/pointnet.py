@@ -29,6 +29,9 @@ class PointnetSAModule(nn.Module):
     mlp_dims: Sequence[int]
     normalize_xyz: bool = True
     bn_axis_name: Optional[str] = None
+    # "bucketed" avoids the O(N log N) top_k selection; statistically
+    # equivalent to CUDA first-K under random point order (see ops.ball_query)
+    ball_query_method: str = "bucketed"
 
     @nn.compact
     def __call__(
@@ -44,7 +47,8 @@ class PointnetSAModule(nn.Module):
         """
         inds = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)
-        group_idx = ball_query(xyz, new_xyz, self.radius, self.nsample)
+        group_idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
+                               method=self.ball_query_method)
         grouped = group_points(
             xyz, features, new_xyz, group_idx, self.radius, self.normalize_xyz
         )  # (B, M, K, 3 + C)

@@ -56,36 +56,70 @@ def gather_points(points: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(points, inds[..., None], axis=1)
 
 
+def _pairwise_d2(centers: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances (..., M, N) via the MXU-friendly expansion
+    |c|^2 + |x|^2 - 2 c.x — avoids materializing the (M, N, 3) difference
+    tensor (3x the HBM traffic of the result)."""
+    cross = jnp.einsum(
+        "...md,...nd->...mn", centers, pts, precision=jax.lax.Precision.HIGHEST
+    )
+    c2 = jnp.sum(centers**2, axis=-1)
+    x2 = jnp.sum(pts**2, axis=-1)
+    return jnp.maximum(c2[..., :, None] + x2[..., None, :] - 2.0 * cross, 0.0)
+
+
 def ball_query(
     xyz: jnp.ndarray,
     centers: jnp.ndarray,
     radius: float,
     nsample: int,
+    method: str = "first_k",
 ) -> jnp.ndarray:
-    """Fixed-radius neighborhood indices with CUDA-parity first-K semantics.
+    """Fixed-radius neighborhood indices.
 
     xyz: (B, N, 3) source points; centers: (B, M, 3) query centers.
     Returns (B, M, nsample) int32 indices into xyz.
+
+    method="first_k": CUDA-parity semantics — the first nsample in-radius
+      points in index order, tail padded with the first hit.
+    method="bucketed": TPU-fast variant — the point axis is split into
+      nsample equal buckets and each slot takes the first in-radius point of
+      its bucket (missing slots replicate the first hit).  Same
+      distribution of neighborhoods when point order is random (both
+      datasets randomly subsample points per scene), but avoids the
+      O(N log N) top_k selection entirely.
     """
     B, N, _ = xyz.shape
     xyz = jax.lax.stop_gradient(xyz)
     centers = jax.lax.stop_gradient(centers)
     r2 = radius * radius
 
-    def per_batch(pts, ctrs):
-        d2 = jnp.sum((ctrs[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # (M, N)
-        in_ball = d2 < r2
-        order = jnp.arange(N, dtype=jnp.int32)
-        # smallest index-order scores among in-ball points == first hits
-        scores = jnp.where(in_ball, order, N)
-        neg_topk, idx = jax.lax.top_k(-scores, nsample)  # ascending scores
-        count = jnp.sum(in_ball, axis=-1, keepdims=True)  # (M, 1)
-        slot = jnp.arange(nsample)[None, :]
-        # pad the tail by replicating the first hit (CUDA kernel behavior)
-        idx = jnp.where(slot < count, idx, idx[:, 0:1])
-        return idx.astype(jnp.int32)
+    if method == "bucketed":
+        pad = (-N) % nsample
+        pts = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+        d2 = _pairwise_d2(centers, pts)  # (B, M, N+pad)
+        Nb = (N + pad) // nsample
+        in_ball = (d2 < r2).reshape(B, -1, nsample, Nb)
+        pick = jnp.argmax(in_ball, axis=-1)  # first hit per bucket
+        has = jnp.any(in_ball, axis=-1)
+        idx = pick + jnp.arange(nsample, dtype=jnp.int32)[None, None, :] * Nb
+        # pad empty slots with the first hit of the first non-empty bucket
+        first_bucket = jnp.argmax(has, axis=-1)  # (B, M)
+        first_idx = jnp.take_along_axis(idx, first_bucket[..., None], axis=-1)
+        idx = jnp.where(has, idx, first_idx)
+        return jnp.minimum(idx, N - 1).astype(jnp.int32)
 
-    return jax.vmap(per_batch)(xyz, centers)
+    d2 = _pairwise_d2(centers, xyz)  # (B, M, N)
+    in_ball = d2 < r2
+    order = jnp.arange(N, dtype=jnp.int32)
+    # smallest index-order scores among in-ball points == first hits
+    scores = jnp.where(in_ball, order[None, None, :], N)
+    _, idx = jax.lax.top_k(-scores, nsample)  # ascending scores
+    count = jnp.sum(in_ball, axis=-1, keepdims=True)
+    slot = jnp.arange(nsample)[None, None, :]
+    # pad the tail by replicating the first hit (CUDA kernel behavior)
+    idx = jnp.where(slot < count, idx, idx[..., 0:1])
+    return idx.astype(jnp.int32)
 
 
 def group_points(
