@@ -65,6 +65,10 @@ class ModelConfig:
     interim_mlp: tuple[int, ...] = (256, 256, 256)
     # compute dtype for transformer matmuls ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # parallel-FPS shard counts (1 = exact greedy FPS; >1 cuts the serial
+    # selection latency ~Sx with near-identical coverage, see ops.pointcloud)
+    fps_shards: int = 4
+    query_fps_shards: int = 4
 
 
 @dataclass(frozen=True)

@@ -101,6 +101,7 @@ class Model3DETR(nn.Module):
             radius=cfg.preenc_radius,
             nsample=cfg.preenc_nsample,
             mlp_dims=tuple(cfg.preenc_mlp[:-1]) + (cfg.encoder.dim,),
+            fps_shards=cfg.fps_shards,
             name="pre_encoder",
         )(xyz, feats, train=train)
 
@@ -112,6 +113,7 @@ class Model3DETR(nn.Module):
                 radius=cfg.interim_radius,
                 nsample=cfg.interim_nsample,
                 mlp_dims=tuple(cfg.interim_mlp[:-1]) + (enc.dim,),
+                fps_shards=min(cfg.fps_shards, 4),
                 name="interim_downsample",
             )
             encoder = MaskedTransformerEncoder(
@@ -161,7 +163,7 @@ class Model3DETR(nn.Module):
         )
 
         # --- query seeds via FPS over encoder tokens (model_3detr.py:173-186)
-        query_inds = furthest_point_sample(enc_xyz, cfg.num_queries)
+        query_inds = furthest_point_sample(enc_xyz, cfg.num_queries, shards=cfg.query_fps_shards)
         query_xyz = gather_points(enc_xyz, query_inds)
         query_embed = GenericMLP(
             hidden_dims=[cfg.decoder.dim],

@@ -19,7 +19,13 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ov3det.ops import ball_query, furthest_point_sample, gather_points, group_points
+from ov3det.ops import (
+    ball_group,
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+)
 
 
 class PointnetSAModule(nn.Module):
@@ -32,6 +38,7 @@ class PointnetSAModule(nn.Module):
     # "bucketed" avoids the O(N log N) top_k selection; statistically
     # equivalent to CUDA first-K under random point order (see ops.ball_query)
     ball_query_method: str = "bucketed"
+    fps_shards: int = 1
 
     @nn.compact
     def __call__(
@@ -45,13 +52,20 @@ class PointnetSAModule(nn.Module):
         Returns (new_xyz (B, npoint, 3), new_features (B, npoint, mlp[-1]),
         fps_inds (B, npoint)).
         """
-        inds = furthest_point_sample(xyz, self.npoint)
+        inds = furthest_point_sample(xyz, self.npoint, shards=self.fps_shards)
         new_xyz = gather_points(xyz, inds)
-        group_idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
-                               method=self.ball_query_method)
-        grouped = group_points(
-            xyz, features, new_xyz, group_idx, self.radius, self.normalize_xyz
-        )  # (B, M, K, 3 + C)
+        if self.ball_query_method == "bucketed":
+            # fused query+group: one-hot contraction instead of a gather
+            grouped = ball_group(
+                xyz, features, new_xyz, self.radius, self.nsample,
+                self.normalize_xyz,
+            )
+        else:
+            group_idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
+                                   method=self.ball_query_method)
+            grouped = group_points(
+                xyz, features, new_xyz, group_idx, self.radius, self.normalize_xyz
+            )  # (B, M, K, 3 + C)
 
         h = grouped
         for width in self.mlp_dims:

@@ -1,4 +1,5 @@
 from ov3det.ops.pointcloud import (
+    ball_group,
     ball_query,
     furthest_point_sample,
     gather_points,
@@ -7,6 +8,7 @@ from ov3det.ops.pointcloud import (
 from ov3det.ops.hungarian import auction_lap
 
 __all__ = [
+    "ball_group",
     "ball_query",
     "furthest_point_sample",
     "gather_points",

@@ -26,13 +26,37 @@ import jax.numpy as jnp
 _BIG = 1e10
 
 
-def furthest_point_sample(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+def furthest_point_sample(
+    xyz: jnp.ndarray, num_samples: int, shards: int = 1
+) -> jnp.ndarray:
     """Iterative farthest-point sampling.
 
     xyz: (B, N, 3) float. Returns (B, num_samples) int32 indices.
+
+    shards=1 is exact greedy FPS (CUDA-parity: seed index 0, argmax ties ->
+    lowest index).  shards=S > 1 is the TPU-parallel approximation: the
+    point set is split into S strided shards, each running greedy FPS for
+    num_samples/S selections *in parallel*.  FPS cost on TPU is dominated
+    by the serial argmax->gather latency per selection (~50us/step,
+    independent of N), so S shards cut wall time ~Sx; with randomly-ordered
+    points (both datasets random-subsample each scene) the strided shards
+    are i.i.d. subsets and coverage is near-identical (see
+    tests/test_ops.py::TestFPS::test_sharded_quality).
     """
     B, N, _ = xyz.shape
     xyz = jax.lax.stop_gradient(xyz)
+
+    if shards > 1:
+        assert num_samples % shards == 0 and N % shards == 0, (num_samples, N, shards)
+        S = shards
+        # shard s = original indices [s::S] (strided reshape)
+        sharded = xyz.reshape(B, N // S, S, 3).transpose(0, 2, 1, 3)  # (B,S,N/S,3)
+        flat = sharded.reshape(B * S, N // S, 3)
+        local = furthest_point_sample(flat, num_samples // S, shards=1)
+        local = local.reshape(B, S, num_samples // S)
+        # local index j in shard s -> global index j*S + s
+        glob = local * S + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+        return glob.transpose(0, 2, 1).reshape(B, num_samples)
 
     def body(i, state):
         inds, min_d2, last = state
@@ -120,6 +144,62 @@ def ball_query(
     # pad the tail by replicating the first hit (CUDA kernel behavior)
     idx = jnp.where(slot < count, idx, idx[..., 0:1])
     return idx.astype(jnp.int32)
+
+
+def ball_group(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    centers: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    normalize_xyz: bool = True,
+) -> jnp.ndarray:
+    """Fused bucketed ball query + grouping without gathers.
+
+    Equivalent to group_points(xyz, features, centers,
+    ball_query(..., method="bucketed"), ...) but the neighbor extraction is
+    a one-hot MXU contraction per bucket instead of a random gather — XLA
+    gathers of ~1M indices cost ~100 ms/batch on TPU, the contraction a few
+    ms.  Returns (B, M, nsample, 3 + C).
+    """
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    K = nsample
+    xyz_sg = jax.lax.stop_gradient(xyz)
+    centers_sg = jax.lax.stop_gradient(centers)
+    pad = (-N) % K
+    pts = jnp.pad(xyz_sg, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+    Npad = N + pad
+    Nb = Npad // K
+
+    d2 = _pairwise_d2(centers_sg, pts)  # (B, M, Npad)
+    in_ball = (d2 < radius * radius).reshape(B, M, K, Nb)
+    pick = jnp.argmax(in_ball, axis=-1)  # (B, M, K) first hit per bucket
+    has = jnp.any(in_ball, axis=-1)  # (B, M, K)
+
+    onehot = jax.nn.one_hot(pick, Nb, dtype=jnp.float32) * has[..., None]
+    pts_b = pts.reshape(B, K, Nb, 3)
+    g_xyz = jnp.einsum("bmkn,bknc->bmkc", onehot, pts_b)  # (B, M, K, 3)
+
+    # empty slots replicate the first non-empty bucket's point
+    first_bucket = jnp.argmax(has, axis=-1)  # (B, M)
+    ohk = jax.nn.one_hot(first_bucket, K, dtype=jnp.float32)
+    first_xyz = jnp.einsum("bmk,bmkc->bmc", ohk, g_xyz)
+    any_hit = jnp.any(has, axis=-1, keepdims=True)  # (B, M, 1): center itself
+    g_xyz = jnp.where(has[..., None], g_xyz, first_xyz[:, :, None, :])
+    g_xyz = jnp.where(any_hit[..., None], g_xyz, centers_sg[:, :, None, :])
+
+    rel = g_xyz - centers_sg[:, :, None, :]
+    if normalize_xyz:
+        rel = rel / radius
+    if features is None:
+        return rel
+    C = features.shape[-1]
+    feats_b = jnp.pad(features, ((0, 0), (0, pad), (0, 0))).reshape(B, K, Nb, C)
+    g_feat = jnp.einsum("bmkn,bknc->bmkc", onehot, feats_b)
+    first_feat = jnp.einsum("bmk,bmkc->bmc", ohk, g_feat)
+    g_feat = jnp.where(has[..., None], g_feat, first_feat[:, :, None, :])
+    return jnp.concatenate([rel, g_feat], axis=-1)
 
 
 def group_points(

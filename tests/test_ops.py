@@ -159,3 +159,44 @@ class TestAuctionLAP:
             ref = cost[b][rows, cols].sum()
             ours = cost[b][np.arange(16), p2o[b]].sum()
             assert ours <= ref + 0.5
+
+    def test_sharded_quality(self):
+        # sharded FPS trades packing for parallelism; what center seeding
+        # needs is COVERAGE — fill distance (worst point's distance to its
+        # nearest selected center) must stay near exact FPS and beat random
+        rng = np.random.default_rng(9)
+        xyz = rng.uniform(size=(1, 2048, 3)).astype(np.float32)
+        exact = np.asarray(furthest_point_sample(jnp.asarray(xyz), 128, shards=1))[0]
+        sharded = np.asarray(furthest_point_sample(jnp.asarray(xyz), 128, shards=4))[0]
+        assert len(set(sharded.tolist())) == 128
+        assert sharded.max() < 2048 and sharded.min() >= 0
+
+        def fill(sel):
+            d = np.linalg.norm(xyz[0][:, None] - xyz[0][sel][None, :], axis=-1)
+            return d.min(axis=1).max()
+
+        rand = rng.choice(2048, 128, replace=False)
+        assert fill(sharded) < fill(rand)
+        assert fill(sharded) < 1.6 * fill(exact)
+
+
+class TestBallGroup:
+    def test_matches_bucketed_query_plus_group(self):
+        import jax
+        from ov3det.ops import ball_group
+
+        rng = np.random.default_rng(20)
+        xyz = rng.uniform(-1, 1, size=(2, 256, 3)).astype(np.float32)
+        feat = rng.normal(size=(2, 256, 4)).astype(np.float32)
+        centers = xyz[:, :16]
+        r, K = 0.5, 8
+        idx = ball_query(jnp.asarray(xyz), jnp.asarray(centers), r, K, method="bucketed")
+        want = np.asarray(
+            group_points(jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(centers), idx, r)
+        )
+        got = np.asarray(
+            jax.jit(lambda *a: ball_group(*a, r, K))(
+                jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(centers)
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
