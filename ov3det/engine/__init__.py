@@ -1,4 +1,5 @@
 from ov3det.engine.checkpoint import CheckpointManager
+from ov3det.engine.runtime import PreemptionGuard, init_multihost, profile_steps
 from ov3det.engine.schedule import make_lr_schedule
 from ov3det.engine.train import (
     TrainState,
@@ -11,6 +12,9 @@ from ov3det.engine.train import (
 
 __all__ = [
     "CheckpointManager",
+    "PreemptionGuard",
+    "init_multihost",
+    "profile_steps",
     "make_lr_schedule",
     "TrainState",
     "build_optimizer",

@@ -35,7 +35,7 @@ from ov3det.config import (
 )
 from ov3det.datasets.loader import DataLoader
 from ov3det.datasets.registry import build_dataset
-from ov3det.engine import CheckpointManager, build_training
+from ov3det.engine import CheckpointManager, PreemptionGuard, build_training
 from ov3det.eval import APCalculator
 from ov3det.models import Model3DETR
 from ov3det.parallel import batch_sharding, make_mesh, replicate
@@ -293,6 +293,7 @@ def do_train(cfg: TrainConfig, args=None):
         return state
 
     logger = Logger(cfg.checkpoint_dir)
+    guard = PreemptionGuard()
     best_ap25 = -1.0
     best_metrics = {}
     iters_per_epoch = len(train_loader)
@@ -309,6 +310,11 @@ def do_train(cfg: TrainConfig, args=None):
             eval_processes=0,
         )
         for it, batch in enumerate(train_loader):
+            if guard.should_stop:
+                # preemption: persist the latest state and exit cleanly
+                ckpt.save_latest(state, epoch - 1)
+                print("preemption signal received; checkpoint saved, exiting")
+                return state
             t0 = time.time()
             curr_iter = epoch * iters_per_epoch + it
             state, metrics = train_step(
