@@ -43,7 +43,13 @@ def make_scene(
     K = int(num_boxes) if num_boxes is not None else int(rng.integers(1, 9))
     centers = rng.uniform(-2.5, 2.5, size=(K, 3)).astype(np.float32)
     centers[:, 2] = rng.uniform(0.2, 1.5, size=K)
-    sizes = rng.uniform(0.3, 1.6, size=(K, 3)).astype(np.float32)
+    # classes are LEARNABLE from geometry: class k has a characteristic size
+    # (so the classifier head can be trained on synthetic data end-to-end)
+    labels = rng.integers(0, num_semcls, size=K).astype(np.int64)
+    base = 0.3 + 1.3 * (labels.astype(np.float32) + 0.5) / num_semcls
+    sizes = (
+        base[:, None] * rng.uniform(0.85, 1.15, size=(K, 3))
+    ).astype(np.float32)
     if num_angle_bin > 1:
         raw = rng.uniform(0, 2 * np.pi, size=K).astype(np.float32)
         acls, ares = _angle_to_bin_np(raw, num_angle_bin)
@@ -52,7 +58,6 @@ def make_scene(
         angles = np.zeros(K, np.float32)
         acls = np.zeros(K, np.int64)
         ares = np.zeros(K, np.float32)
-    labels = rng.integers(0, num_semcls, size=K).astype(np.int64)
 
     # points: 70% inside boxes (uniform in the unrotated box then rotated),
     # 30% floor/background

@@ -1,0 +1,91 @@
+"""End-to-end learning validation: AP rises when training on synthetic data.
+
+The strongest whole-framework check: model + matcher + losses + optimizer +
+eval stack must all be correct for mAP@0.25 to climb well above the
+untrained level on learnable synthetic scenes (class determined by box
+size).  Runs a few hundred steps on a tiny model; marked slow.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ov3det.config import (
+    DecoderConfig,
+    EncoderConfig,
+    LossConfig,
+    MatcherConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from ov3det.datasets import make_batch
+from ov3det.engine import build_training
+from ov3det.eval import APCalculator
+from ov3det.models import Model3DETR
+
+NPTS, NPRE, Q, NCLS = 768, 128, 32, 3
+
+
+@pytest.mark.slow
+def test_ap_rises_with_training():
+    cfg = TrainConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(num_layers=2, dim=64, ffn_dim=64,
+                                  masking_radius=(0.16, 0.64)),
+            decoder=DecoderConfig(num_layers=2, dim=64, ffn_dim=64),
+            preenc_npoints=NPRE,
+            num_queries=Q,
+            preenc_mlp=(32, 64, 64),
+            num_semcls=NCLS,
+            num_angle_bin=1,
+            clip_embed_dim=64,
+            mlp_dropout=0.0,
+        ),
+        loss=LossConfig(
+            matcher=MatcherConfig(cost_class=1, cost_objectness=5, cost_center=5,
+                                  cost_giou=2),
+            giou_weight=1.0,
+            center_weight=5.0,
+        ),
+        optim=OptimConfig(base_lr=1.5e-3, warm_lr_epochs=1, clip_gradient=0.1),
+        max_epoch=10,
+    )
+    model = Model3DETR(cfg.model)
+
+    def sample_batch(seed):
+        rng = np.random.default_rng(seed)
+        b = make_batch(rng, batch_size=4, num_points=NPTS, num_semcls=NCLS,
+                       num_angle_bin=1, num_boxes=3)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    batch0 = sample_batch(0)
+    inputs = {k: batch0[k] for k in
+              ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max")}
+    state, train_step, eval_step, _ = build_training(
+        cfg, model, inputs, iters_per_epoch=40, rng=jax.random.PRNGKey(0)
+    )
+
+    def measure_ap(state, seeds):
+        calc = APCalculator(ap_iou_thresh=[0.25], exact_eval=False,
+                            dataset_config=type("C", (), {"num_semcls": NCLS})())
+        for s in seeds:
+            b = sample_batch(s)
+            out = eval_step(state, b)
+            calc.step_meter(out, b)
+        return calc.compute_metrics()[0.25]["mAP"]
+
+    ap_before = measure_ap(state, [100, 101])
+    losses = []
+    for step in range(250):
+        state, metrics = train_step(
+            state, sample_batch(step % 25), jax.random.PRNGKey(step)
+        )
+        if step % 100 == 0:
+            losses.append(float(metrics["loss"]))
+    ap_after = measure_ap(state, [100, 101])
+
+    assert np.isfinite(losses).all()
+    # measured trajectory at this budget: loss ~10.3 -> ~5.3, AP 0.0 -> ~0.17
+    assert losses[-1] < 0.65 * losses[0], losses
+    assert ap_after > max(0.10, ap_before + 0.08), (ap_before, ap_after, losses)
