@@ -31,6 +31,9 @@ class ScannetDetectionDataset:
         num_points: int = 40000,
         use_color: bool = False,
         use_height: bool = False,
+        use_image: bool = False,
+        frames_dir: Optional[str] = None,
+        max_frames: int = 64,
         augment: bool = False,
         use_pbox: bool = False,
         use_2d_feature: bool = False,
@@ -57,6 +60,9 @@ class ScannetDetectionDataset:
         self.num_points = num_points
         self.use_color = use_color
         self.use_height = use_height
+        self.use_image = use_image
+        self.frames_dir = frames_dir
+        self.max_frames = max_frames
         self.augment = augment
         self.use_pbox = use_pbox
         self.use_2d_feature = use_2d_feature
@@ -140,6 +146,13 @@ class ScannetDetectionDataset:
             self.dataset_config.nyu40id2class[int(x)] for x in instance_bboxes[:K, -1]
         ]
 
+        if self.use_image:
+            from ov3det.datasets.image_utils import load_scene_frames
+
+            images, depths, poses, frame_mask = load_scene_frames(
+                self.frames_dir, scan_name, max_frames=self.max_frames
+            )
+
         ret = {
             "point_clouds": point_cloud.astype(np.float32),
             "gt_box_corners": box_corners.astype(np.float32),
@@ -158,4 +171,11 @@ class ScannetDetectionDataset:
         }
         if self.use_2d_feature:
             ret["feature_2d"] = feature_2d
+        if self.use_image:
+            # multi-frame views (reference scannet.py:276-285, :390-393),
+            # padded to a fixed frame count so batches stay fixed-shape
+            ret["images"] = images.astype(np.float32)
+            ret["depths"] = depths.astype(np.float32)
+            ret["poses"] = poses.astype(np.float32)
+            ret["frame_mask"] = frame_mask
         return ret

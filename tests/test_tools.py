@@ -199,3 +199,38 @@ class TestLabelFormatterAndTools:
         calc.step(preds_good, gt)
         m = calc.compute_metrics()
         assert m["AR"] == 1.0 and m["mPrecision"] == 1.0
+
+
+class TestImageUtils:
+    def test_resize_crop_nearest(self):
+        from ov3det.datasets.image_utils import resize_crop_image
+
+        # checkerboard 480x640 -> (328, 256): nearest keeps binary values
+        img = np.indices((480, 640)).sum(0) % 2
+        img = (img * 255).astype(np.uint8)
+        out = resize_crop_image(img, (328, 256))
+        assert out.shape == (256, 328)
+        assert set(np.unique(out)) <= {0, 255}
+
+    def test_load_scene_frames_padding(self, tmp_path):
+        from PIL import Image
+        from ov3det.datasets.image_utils import load_scene_frames
+
+        scene = tmp_path / "scene0000_00"
+        for sub in ("color", "depth", "pose"):
+            (scene / sub).mkdir(parents=True)
+        for fid in (0, 20):
+            Image.fromarray(
+                np.random.randint(0, 255, (480, 640, 3), np.uint8)
+            ).save(scene / "color" / f"{fid}.jpg")
+            Image.fromarray(
+                np.random.randint(0, 4000, (480, 640)).astype(np.int32), mode="I"
+            ).save(scene / "depth" / f"{fid}.png")
+            np.savetxt(scene / "pose" / f"{fid}.txt", np.eye(4))
+        images, depths, poses, mask = load_scene_frames(
+            str(tmp_path), "scene0000_00", max_frames=4
+        )
+        assert images.shape == (4, 3, 256, 328)
+        assert depths.shape == (4, 32, 41)
+        assert poses.shape == (4, 4, 4)
+        np.testing.assert_array_equal(mask, [1, 1, 0, 0])
