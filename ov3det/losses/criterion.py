@@ -73,8 +73,10 @@ def compute_assignments(
     flat_pred = pred_corners.reshape(L * B, Q, 8, 3)
     flat_gt = jnp.tile(gt_corners, (L, 1, 1, 1))
     flat_n = jnp.tile(nactual, (L,))
+    giou_dtype = jnp.bfloat16 if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16" else jnp.float32
     gious = generalized_box3d_iou(
-        flat_pred, flat_gt, flat_n, rotated_boxes=rotated_boxes
+        flat_pred, flat_gt, flat_n, rotated_boxes=rotated_boxes,
+        compute_dtype=giou_dtype,
     ).reshape(L, B, Q, G)
 
     center_dist = jnp.sum(
