@@ -172,6 +172,8 @@ def ball_group(
     Npad = N + pad
     Nb = Npad // K
 
+    # f32 throughout: the |c|^2+|x|^2-2c.x expansion cancels catastrophically
+    # at ball-radius scale in bf16 (d2 ~ 0.04 from ~10-magnitude operands)
     d2 = _pairwise_d2(centers_sg, pts)  # (B, M, Npad)
     in_ball = (d2 < radius * radius).reshape(B, M, K, Nb)
     pick = jnp.argmax(in_ball, axis=-1)  # (B, M, K) first hit per bucket
