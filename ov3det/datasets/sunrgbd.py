@@ -25,7 +25,10 @@ from ov3det.datasets.augment import (
 from ov3det.datasets.dataset_configs import SunrgbdDatasetConfig
 
 MEAN_COLOR_RGB = np.array([0.5, 0.5, 0.5])
-MAX_NUM_PIXEL = 530 * 730  # fixed-size 1-D image padding (reference sunrgbd.py:47)
+# fixed padded image canvas (reference packs images into a 1-D buffer of
+# 530*730*3, sunrgbd.py:47,284-285; a 2-D zero-padded canvas batches cleanly
+# and reshapes row-correctly, which the flat buffer cannot for smaller images)
+MAX_IMG_H, MAX_IMG_W = 530, 730
 
 
 class SunrgbdDetectionDataset:
@@ -88,11 +91,11 @@ class SunrgbdDetectionDataset:
 
         img = np.asarray(
             Image.open(os.path.join(self.raw_data_path, "image", scan_name + ".jpg"))
-        )[..., ::-1]  # BGR like the reference's cv2.imread (sunrgbd.py:281)
+        )  # RGB (the teacher tower normalizes with RGB statistics)
         h, w = img.shape[0], img.shape[1]
-        flat = np.zeros((MAX_NUM_PIXEL * 3,), np.float32)
-        flat[: h * w * 3] = img.astype(np.float32).flatten()
-        return Rtilt, K, flat, h, w
+        canvas = np.zeros((MAX_IMG_H, MAX_IMG_W, 3), np.float32)
+        canvas[:h, :w] = img.astype(np.float32)
+        return Rtilt, K, canvas, h, w
 
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(
@@ -118,7 +121,7 @@ class SunrgbdDetectionDataset:
                 os.path.join(self.feature_2d_dir, scan_name) + ".npy"
             )
         if self.use_image:
-            calib_Rtilt, calib_K, img_flat, img_h, img_w = self._load_image_calib(
+            calib_Rtilt, calib_K, img_canvas, img_h, img_w = self._load_image_calib(
                 scan_name
             )
 
@@ -161,7 +164,7 @@ class SunrgbdDetectionDataset:
         if self.use_2d_feature:
             ret["feature_2d"] = feature_2d
         if self.use_image:
-            ret["image"] = img_flat
+            ret["image"] = img_canvas
             ret["image_height"] = np.int64(img_h)
             ret["image_width"] = np.int64(img_w)
             ret["calib_Rtilt"] = calib_Rtilt.astype(np.float32)

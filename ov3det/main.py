@@ -218,6 +218,29 @@ def load_text_embed(path, num_semcls, embed_dim):
     return jnp.asarray(emb)
 
 
+def build_teacher_fn(cfg, example_batch):
+    """Construct the frozen RegionCLIP teacher hook for the 2D-alignment
+    loss (reference criterion.py:363-399 runs it inside the criterion)."""
+    from ov3det.models.regionclip import (
+        RegionCLIPTeacher,
+        convert_torch_checkpoint,
+        make_teacher_fn,
+    )
+
+    teacher = RegionCLIPTeacher(embed_dim=cfg.model.clip_embed_dim)
+    if cfg.teacher.checkpoint_path:
+        variables = convert_torch_checkpoint(cfg.teacher.checkpoint_path)
+    else:
+        print("WARNING: no --region_clip_ckpt_path; teacher runs with random "
+              "weights (distillation targets are meaningless)")
+        img = jnp.asarray(example_batch["image"][:1])
+        boxes = jnp.zeros((1, 1, 4), jnp.float32)
+        variables = jax.jit(
+            lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
+        )()
+    return make_teacher_fn(teacher, variables)
+
+
 def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
              eval_processes: int = 0):
     # eval_processes=0: the vectorized per-scan IoU makes the per-class AP
@@ -267,6 +290,7 @@ def do_train(cfg: TrainConfig, args=None):
     text_embed = load_text_embed(
         cfg.teacher.text_embed_path, cfg.model.num_semcls, cfg.model.clip_embed_dim
     )
+    teacher_fn = build_teacher_fn(cfg, example) if cfg.teacher.enabled else None
     state, train_step, eval_step, schedule = build_training(
         cfg,
         model,
@@ -274,6 +298,7 @@ def do_train(cfg: TrainConfig, args=None):
         iters_per_epoch=len(train_loader),
         rng=jax.random.PRNGKey(cfg.seed),
         text_embed=text_embed,
+        teacher_fn=teacher_fn,
     )
     if mesh:
         state = replicate(state, mesh)

@@ -69,12 +69,14 @@ class RegionCLIPTeacher(nn.Module):
         return emb.reshape(B, Q, self.embed_dim)
 
 
-def make_teacher_fn(teacher: RegionCLIPTeacher, variables, image_hw):
+def make_teacher_fn(teacher: RegionCLIPTeacher, variables):
     """Build the criterion hook: (batch, outputs) -> (B, Q, 640) features.
 
     Hoists the teacher out of the aux-layer loop (the reference re-runs it
     per decoder layer, criterion.py:434-442): features are computed once on
-    the FINAL layer's boxes.
+    the FINAL layer's boxes.  Expects batches from the SUN RGB-D loader
+    with `image` as a zero-padded (B, H, W, 3) canvas plus per-sample
+    image_height/image_width and calibration matrices.
     """
     from ov3det.utils.calibration import SunrgbdCalibration, project_boxes_to_image
 
@@ -87,10 +89,7 @@ def make_teacher_fn(teacher: RegionCLIPTeacher, variables, image_hw):
             jax.lax.stop_gradient(outputs["angle_continuous"][-1]),
             image_hw=jnp.stack([batch["image_height"], batch["image_width"]], -1),
         )
-        B = boxes.shape[0]
-        h, w = image_hw
-        images = batch["image"][:, : h * w * 3].reshape(B, h, w, 3)
-        feats = teacher.apply(variables, images, boxes)
+        feats = teacher.apply(variables, batch["image"], boxes)
         return jax.lax.stop_gradient(feats)
 
     return teacher_fn

@@ -134,3 +134,63 @@ class TestTeacherTower:
         out = jax.jit(teacher.apply)(variables, images, boxes)
         assert out.shape == (2, 2, 64)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTeacherInTraining:
+    def test_train_step_with_2d_alignment(self):
+        """Full open-vocab path: projected boxes -> teacher features ->
+        distillation loss, inside one jitted train step."""
+        import jax.numpy as jnp
+        from ov3det.config import (DecoderConfig, EncoderConfig, LossConfig,
+                                   MatcherConfig, ModelConfig, OptimConfig,
+                                   TrainConfig)
+        from ov3det.datasets import make_batch
+        from ov3det.engine import build_training
+        from ov3det.models import Model3DETR
+        from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
+
+        NCLS, Q = 4, 16
+        cfg = TrainConfig(
+            model=ModelConfig(
+                encoder=EncoderConfig(num_layers=1, dim=32, ffn_dim=32,
+                                      masking_radius=(0.16,)),
+                decoder=DecoderConfig(num_layers=2, dim=32, ffn_dim=32),
+                preenc_npoints=64, num_queries=Q, preenc_mlp=(16, 32, 32),
+                num_semcls=NCLS, num_angle_bin=12, clip_embed_dim=32,
+                mlp_dropout=0.0,
+            ),
+            loss=LossConfig(
+                matcher=MatcherConfig(cost_class=1, cost_center=5),
+                alignment_2d_weight=1.0,
+            ),
+            optim=OptimConfig(),
+            max_epoch=2,
+        )
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, batch_size=2, num_points=256, num_semcls=NCLS,
+                           num_angle_bin=12, num_boxes=3)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        H, W = 64, 96
+        batch["image"] = jnp.asarray(
+            rng.uniform(0, 255, size=(2, H, W, 3)).astype(np.float32))
+        batch["image_height"] = jnp.asarray([H, H])
+        batch["image_width"] = jnp.asarray([W, W])
+        Rtilt, K = random_calib(rng)
+        batch["calib_Rtilt"] = jnp.asarray(np.stack([Rtilt, Rtilt]))
+        batch["calib_K"] = jnp.asarray(np.stack([K, K]).astype(np.float32))
+
+        teacher = RegionCLIPTeacher(width=16, layers=(1, 1, 1, 1), embed_dim=32,
+                                    pooler_resolution=6, image_resolution=64)
+        t_vars = jax.jit(lambda: teacher.init(
+            jax.random.PRNGKey(0), batch["image"], jnp.zeros((2, 1, 4))))()
+        teacher_fn = make_teacher_fn(teacher, t_vars)
+
+        model = Model3DETR(cfg.model)
+        inputs = {k: batch[k] for k in
+                  ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max")}
+        state, train_step, _, _ = build_training(
+            cfg, model, inputs, 10, jax.random.PRNGKey(0), teacher_fn=teacher_fn)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        assert "loss_2dalignment" in metrics
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_2dalignment"]) > 0
