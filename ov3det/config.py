@@ -174,7 +174,8 @@ def replace(cfg, **kw):
 def scannet_quick() -> TrainConfig:
     """reference scripts/scannet_quick.sh"""
     return TrainConfig(
-        model=ModelConfig(num_semcls=18, num_angle_bin=1, num_queries=256),
+        model=ModelConfig(num_semcls=18, num_angle_bin=1, num_queries=256,
+                          compute_dtype="bfloat16"),
         loss=LossConfig(giou_weight=1.0),
         data=DataConfig(dataset_name="scannet", num_points=40000),
         max_epoch=90,
@@ -184,7 +185,8 @@ def scannet_quick() -> TrainConfig:
 def sunrgbd_quick() -> TrainConfig:
     """reference scripts/sunrgbd_quick.sh (giou weight 0; matcher center/obj 5)"""
     return TrainConfig(
-        model=ModelConfig(num_semcls=20, num_angle_bin=12, num_queries=128),
+        model=ModelConfig(num_semcls=20, num_angle_bin=12, num_queries=128,
+                          compute_dtype="bfloat16"),
         loss=LossConfig(
             matcher=MatcherConfig(
                 cost_class=1.0, cost_objectness=5.0, cost_center=5.0, cost_giou=3.0

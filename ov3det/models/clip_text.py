@@ -135,6 +135,110 @@ def convert_text_checkpoint(path: str, layers: int = 12) -> dict:
     return {"params": params}
 
 
+class SimpleBPETokenizer:
+    """CLIP's byte-pair tokenizer, loaded from the standard merges file.
+
+    The merges vocabulary (`bpe_simple_vocab_16e6.txt.gz`) is not vendored
+    (zero-egress build); supply a local copy.  Algorithm follows the public
+    CLIP tokenizer: byte-level unicode mapping, lowercase, basic regex
+    splitting, greedy lowest-rank pair merging, `</w>` end-of-word marker.
+    """
+
+    def __init__(self, bpe_path: str, context_length: int = 77):
+        import gzip
+        import html
+        import re
+
+        self._re = re
+        self._html = html
+        self.context_length = context_length
+        self.byte_encoder = self._bytes_to_unicode()
+        merges = gzip.open(bpe_path, "rt", encoding="utf-8").read().split("\n")
+        merges = [tuple(m.split()) for m in merges[1 : 49152 - 256 - 2 + 1]]
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {v: i for i, v in enumerate(vocab)}
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {}
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+            if hasattr(re, "Pattern") and False
+            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            re.IGNORECASE,
+        )
+
+    @staticmethod
+    def _bytes_to_unicode():
+        bs = (
+            list(range(ord("!"), ord("~") + 1))
+            + list(range(ord("\xa1"), ord("\xac") + 1))
+            + list(range(ord("\xae"), ord("\xff") + 1))
+        )
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        return dict(zip(bs, [chr(c) for c in cs]))
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        text = self._html.unescape(self._html.unescape(text)).strip().lower()
+        text = self._re.sub(r"\s+", " ", text)
+        tokens = []
+        for tok in self._re.findall(self.pat, text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            tokens.extend(self.encoder[t] for t in self._bpe(tok).split(" "))
+        return tokens
+
+    def __call__(self, texts) -> np.ndarray:
+        """texts: list[str] -> (len(texts), context_length) int32 ids."""
+        sot = self.encoder["<|startoftext|>"]
+        eot = self.encoder["<|endoftext|>"]
+        out = np.zeros((len(texts), self.context_length), np.int32)
+        for i, t in enumerate(texts):
+            ids = [sot] + self.encode(t)[: self.context_length - 2] + [eot]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def tokenize_prompts(class_names, tokenizer, templates=PROMPT_TEMPLATES):
+    """class names -> (C, num_templates, context_len) prompt token ids."""
+    rows = [
+        tokenizer([tpl.format(name) for tpl in templates]) for name in class_names
+    ]
+    return np.stack(rows, 0)
+
+
 def extract_class_embeddings(
     encoder: CLIPTextEncoder,
     variables: dict,

@@ -102,6 +102,7 @@ class Model3DETR(nn.Module):
             nsample=cfg.preenc_nsample,
             mlp_dims=tuple(cfg.preenc_mlp[:-1]) + (cfg.encoder.dim,),
             fps_shards=cfg.fps_shards,
+            dtype=dtype,
             name="pre_encoder",
         )(xyz, feats, train=train)
 
@@ -114,6 +115,7 @@ class Model3DETR(nn.Module):
                 nsample=cfg.interim_nsample,
                 mlp_dims=tuple(cfg.interim_mlp[:-1]) + (enc.dim,),
                 fps_shards=min(cfg.fps_shards, 4),
+                dtype=dtype,
                 name="interim_downsample",
             )
             encoder = MaskedTransformerEncoder(
@@ -196,6 +198,7 @@ class Model3DETR(nn.Module):
                 output_dim=out_dim,
                 norm="bn",
                 dropout=cfg.mlp_dropout,
+                dtype=dtype,
                 name=name,
             )
 

@@ -37,6 +37,7 @@ class GenericMLP(nn.Module):
     output_use_norm: bool = False
     bn_axis_name: Optional[str] = None
     kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay float32)
 
     def _norm(self, x, train: bool):
         if self.norm == "bn":
@@ -56,13 +57,13 @@ class GenericMLP(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = ACTIVATIONS[self.activation]
         for width in self.hidden_dims:
-            x = nn.Dense(width, use_bias=self.hidden_use_bias, kernel_init=self.kernel_init)(x)
+            x = nn.Dense(width, use_bias=self.hidden_use_bias, kernel_init=self.kernel_init, dtype=self.dtype)(x)
             if self.norm is not None:
                 x = self._norm(x, train)
             x = act(x)
             if self.dropout is not None and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.output_dim, use_bias=self.output_use_bias, kernel_init=self.kernel_init)(x)
+        x = nn.Dense(self.output_dim, use_bias=self.output_use_bias, kernel_init=self.kernel_init, dtype=self.dtype)(x)
         if self.output_use_norm and self.norm is not None:
             x = self._norm(x, train)
         if self.output_use_activation:

@@ -39,6 +39,7 @@ class PointnetSAModule(nn.Module):
     # equivalent to CUDA first-K under random point order (see ops.ball_query)
     ball_query_method: str = "bucketed"
     fps_shards: int = 1
+    dtype: Optional[jnp.dtype] = None  # compute dtype for the shared MLP
 
     @nn.compact
     def __call__(
@@ -69,7 +70,7 @@ class PointnetSAModule(nn.Module):
 
         h = grouped
         for width in self.mlp_dims:
-            h = nn.Dense(width, use_bias=False)(h)
+            h = nn.Dense(width, use_bias=False, dtype=self.dtype)(h)
             h = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
