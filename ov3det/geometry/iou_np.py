@@ -84,15 +84,24 @@ def _vol_np(corners):
     return a * b * c
 
 
-def box3d_iou_batch_np(corners1: np.ndarray, corners2: np.ndarray) -> np.ndarray:
+def box3d_iou_batch_np(corners1: np.ndarray, corners2: np.ndarray,
+                       allow_native: bool = True) -> np.ndarray:
     """Pairwise exact rotated 3D IoU; corners (M, 8, 3) x (N, 8, 3) -> (M, N).
 
     Camera frame, up = -Y, same conventions as reference box3d_iou
-    (utils/box_util.py:116-141).
+    (utils/box_util.py:116-141).  Uses the C++ core (ov3det.native) when a
+    compiler is available; this vectorized numpy path is the fallback and
+    the parity oracle.
     """
     M, N = corners1.shape[0], corners2.shape[0]
     if M == 0 or N == 0:
         return np.zeros((M, N), np.float64)
+    if allow_native:
+        from ov3det.native import box3d_iou_batch_native
+
+        out = box3d_iou_batch_native(corners1, corners2)
+        if out is not None:
+            return out
     rect1 = corners1[:, [3, 2, 1, 0]][:, :, [0, 2]]  # ccw BEV quads
     rect2 = corners2[:, [3, 2, 1, 0]][:, :, [0, 2]]
     r1 = np.broadcast_to(rect1[:, None], (M, N, 4, 2)).reshape(-1, 4, 2)

@@ -163,3 +163,19 @@ class TestAPCalculatorParity:
                 ref_metrics[t]["mAP"],
             )
             assert abs(our_metrics[t]["AR"] - ref_metrics[t]["AR"]) < 2e-3
+
+
+class TestNativeIoU:
+    def test_native_matches_numpy(self):
+        from ov3det.native import box3d_iou_batch_native, native_available
+
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        rng = np.random.default_rng(7)
+        c1 = random_corners(rng, 12).astype(np.float32)
+        c2 = random_corners(rng, 9).astype(np.float32)
+        want = box3d_iou_batch_np(
+            c1.astype(np.float64), c2.astype(np.float64), allow_native=False
+        )
+        got = box3d_iou_batch_native(c1, c2)
+        np.testing.assert_allclose(got, want, atol=2e-4)

@@ -200,3 +200,14 @@ class TestBallGroup:
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPallasFPS:
+    def test_matches_xla_reference_interpret(self):
+        from ov3det.ops.pallas.fps_kernel import furthest_point_sample_pallas
+
+        rng = np.random.default_rng(21)
+        xyz = jnp.asarray(rng.uniform(-2, 2, size=(2, 512, 3)).astype(np.float32))
+        ref = np.asarray(furthest_point_sample(xyz, 64))
+        got = np.asarray(furthest_point_sample_pallas(xyz, 64, interpret=True))
+        np.testing.assert_array_equal(got, ref)
