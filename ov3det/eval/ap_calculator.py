@@ -143,14 +143,16 @@ class APCalculator:
                 processes=self.eval_processes,
             )
             for key in sorted(ap.keys()):
-                name = self.class2type_map[key] if self.class2type_map else str(key)
+                # SUN RGB-D names only 17 of its 20 class ids (reference
+                # sunrgbd.py:60-78) — fall back to the numeric id
+                name = (self.class2type_map or {}).get(key, str(key))
                 ret[f"{name} Average Precision"] = ap[key]
             ap_vals = np.array(list(ap.values()), dtype=np.float32)
             ap_vals[np.isnan(ap_vals)] = 0
             ret["mAP"] = float(ap_vals.mean()) if len(ap_vals) else 0.0
             rec_list = []
             for key in sorted(ap.keys()):
-                name = self.class2type_map[key] if self.class2type_map else str(key)
+                name = (self.class2type_map or {}).get(key, str(key))
                 try:
                     ret[f"{name} Recall"] = rec[key][-1]
                     rec_list.append(rec[key][-1])
