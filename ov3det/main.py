@@ -238,7 +238,7 @@ def build_teacher_fn(cfg, example_batch):
         variables = jax.jit(
             lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
         )()
-    return make_teacher_fn(teacher, variables)
+    return make_teacher_fn(teacher, variables, per_layer=cfg.loss.teacher_per_layer)
 
 
 def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,

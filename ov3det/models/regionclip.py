@@ -69,27 +69,43 @@ class RegionCLIPTeacher(nn.Module):
         return emb.reshape(B, Q, self.embed_dim)
 
 
-def make_teacher_fn(teacher: RegionCLIPTeacher, variables):
-    """Build the criterion hook: (batch, outputs) -> (B, Q, 640) features.
+def make_teacher_fn(teacher: RegionCLIPTeacher, variables, per_layer: bool = False):
+    """Build the criterion hook: (batch, outputs) -> region features.
 
-    Hoists the teacher out of the aux-layer loop (the reference re-runs it
-    per decoder layer, criterion.py:434-442): features are computed once on
-    the FINAL layer's boxes.  Expects batches from the SUN RGB-D loader
-    with `image` as a zero-padded (B, H, W, 3) canvas plus per-sample
-    image_height/image_width and calibration matrices.
+    per_layer=False (default) hoists the teacher out of the aux-layer loop:
+    features are computed once on the FINAL decoder layer's boxes and reused
+    for every aux loss.  per_layer=True reproduces the reference exactly —
+    it re-runs the teacher on every decoder layer's boxes
+    (criterion.py:434-442), ~L x the teacher cost.
+
+    Expects batches from the SUN RGB-D loader with `image` as a zero-padded
+    (B, H, W, 3) canvas plus per-sample image_height/image_width and
+    calibration matrices.
     """
     from ov3det.utils.calibration import SunrgbdCalibration, project_boxes_to_image
 
-    def teacher_fn(batch, outputs):
+    def _project(batch, outputs, layer_slice):
         calib = SunrgbdCalibration(batch["calib_Rtilt"], batch["calib_K"])
-        boxes = project_boxes_to_image(
+        return project_boxes_to_image(
             calib,
-            jax.lax.stop_gradient(outputs["center_unnormalized"][-1]),
-            jax.lax.stop_gradient(outputs["size_unnormalized"][-1]),
-            jax.lax.stop_gradient(outputs["angle_continuous"][-1]),
+            jax.lax.stop_gradient(outputs["center_unnormalized"][layer_slice]),
+            jax.lax.stop_gradient(outputs["size_unnormalized"][layer_slice]),
+            jax.lax.stop_gradient(outputs["angle_continuous"][layer_slice]),
             image_hw=jnp.stack([batch["image_height"], batch["image_width"]], -1),
         )
-        feats = teacher.apply(variables, batch["image"], boxes)
+
+    def teacher_fn(batch, outputs):
+        if not per_layer:
+            boxes = _project(batch, outputs, -1)  # (B, Q, 4)
+            feats = teacher.apply(variables, batch["image"], boxes)
+            return jax.lax.stop_gradient(feats)  # (B, Q, C)
+        L = outputs["center_unnormalized"].shape[0]
+
+        def one_layer(l):
+            boxes = _project(batch, outputs, l)
+            return teacher.apply(variables, batch["image"], boxes)
+
+        feats = jax.lax.map(one_layer, jnp.arange(L))  # (L, B, Q, C)
         return jax.lax.stop_gradient(feats)
 
     return teacher_fn

@@ -194,3 +194,42 @@ class TestTeacherInTraining:
         assert "loss_2dalignment" in metrics
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss_2dalignment"]) > 0
+
+    def test_per_layer_teacher_features(self):
+        """teacher_per_layer parity mode: one teacher run per decoder layer."""
+        import jax.numpy as jnp
+        from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
+
+        rng = np.random.default_rng(1)
+        teacher = RegionCLIPTeacher(width=16, layers=(1, 1, 1, 1), embed_dim=16,
+                                    pooler_resolution=4, image_resolution=64)
+        B, Q, L, H, W = 2, 4, 3, 64, 64
+        image = jnp.asarray(rng.uniform(0, 255, size=(B, H, W, 3)).astype(np.float32))
+        t_vars = jax.jit(lambda: teacher.init(
+            jax.random.PRNGKey(0), image, jnp.zeros((B, 1, 4))))()
+        Rtilt, K = random_calib(rng)
+        batch = {
+            "image": image,
+            "image_height": jnp.asarray([H] * B),
+            "image_width": jnp.asarray([W] * B),
+            "calib_Rtilt": jnp.asarray(np.stack([Rtilt] * B)),
+            "calib_K": jnp.asarray(np.stack([K] * B).astype(np.float32)),
+        }
+        outputs = {
+            "center_unnormalized": jnp.asarray(
+                rng.uniform(-1, 1, size=(L, B, Q, 3)).astype(np.float32)
+            ).at[..., 1].add(3.0),
+            "size_unnormalized": jnp.asarray(
+                rng.uniform(0.3, 1.0, size=(L, B, Q, 3)).astype(np.float32)),
+            "angle_continuous": jnp.asarray(
+                rng.uniform(-1, 1, size=(L, B, Q)).astype(np.float32)),
+        }
+        fn_last = make_teacher_fn(teacher, t_vars, per_layer=False)
+        fn_all = make_teacher_fn(teacher, t_vars, per_layer=True)
+        f_last = jax.jit(fn_last)(batch, outputs)
+        f_all = jax.jit(fn_all)(batch, outputs)
+        assert f_last.shape == (B, Q, 16)
+        assert f_all.shape == (L, B, Q, 16)
+        np.testing.assert_allclose(
+            np.asarray(f_all[-1]), np.asarray(f_last), atol=1e-5
+        )
