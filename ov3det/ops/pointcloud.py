@@ -27,24 +27,42 @@ _BIG = 1e10
 
 
 def furthest_point_sample(
-    xyz: jnp.ndarray, num_samples: int, shards: int = 1
+    xyz: jnp.ndarray, num_samples: int, shards: int = 1,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Iterative farthest-point sampling.
 
     xyz: (B, N, 3) float. Returns (B, num_samples) int32 indices.
 
-    shards=1 is exact greedy FPS (CUDA-parity: seed index 0, argmax ties ->
-    lowest index).  shards=S > 1 is the TPU-parallel approximation: the
-    point set is split into S strided shards, each running greedy FPS for
-    num_samples/S selections *in parallel*.  FPS cost on TPU is dominated
-    by the serial argmax->gather latency per selection (~50us/step,
-    independent of N), so S shards cut wall time ~Sx; with randomly-ordered
-    points (both datasets random-subsample each scene) the strided shards
-    are i.i.d. subsets and coverage is near-identical (see
-    tests/test_ops.py::TestFPS::test_sharded_quality).
+    On TPU this dispatches to the fused Pallas kernel
+    (ov3det.ops.pallas.fps_kernel), which is *exact* greedy FPS
+    (CUDA-parity: seed index 0, argmax ties -> lowest index) with the
+    min-distance state VMEM-resident for all k iterations — ~100x faster
+    than the XLA fori_loop and strictly better than the sharded
+    approximation, so `shards` is ignored there.  `use_pallas` forces the
+    dispatch either way (None = auto: TPU backend and the four (B, N) f32
+    VMEM buffers fit comfortably).
+
+    On other backends: shards=1 is exact greedy FPS; shards=S > 1 is the
+    parallel approximation — the point set is split into S strided shards,
+    each running greedy FPS for num_samples/S selections *in parallel*.
+    Serial argmax->gather latency per selection dominates XLA FPS
+    (~50us/step, independent of N), so S shards cut wall time ~Sx; with
+    randomly-ordered points (both datasets random-subsample each scene)
+    the strided shards are i.i.d. subsets and coverage is near-identical
+    (see tests/test_ops.py::TestFPS::test_sharded_quality).
     """
     B, N, _ = xyz.shape
     xyz = jax.lax.stop_gradient(xyz)
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and 16 * B * N <= 12 * 2**20
+        )
+    if use_pallas:
+        from ov3det.ops.pallas.fps_kernel import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, num_samples)
 
     if shards > 1:
         assert num_samples % shards == 0 and N % shards == 0, (num_samples, N, shards)
