@@ -101,6 +101,16 @@ class LossConfig:
     # GIoU compute dtype ("bfloat16" halves the polygon-clip bandwidth;
     # ~0.4% relative area error, no effect on training quality)
     giou_compute_dtype: str = "bfloat16"
+    # GIoU flavor for the MATCHER COST matrix on rotated-box datasets:
+    # "rotated" = exact polygon-clip over all (layer, query, gt) pairs —
+    # reference parity (criterion.py:348-356) and the golden-test setting;
+    # "axis_aligned" = enclosing-AABB GIoU for the cost (the BASELINE.md
+    # north-star design: the cost also carries 5x center + 5x objectness
+    # terms, so the cheap approximation rarely flips an assignment) while
+    # the GIoU *loss*, when active, is still the exact rotated value,
+    # computed only on the Q matched pairs per layer instead of all QxG.
+    # On axis-aligned datasets (ScanNet) the two are identical.
+    matcher_giou: str = "rotated"
 
 
 @dataclass(frozen=True)
@@ -192,6 +202,7 @@ def sunrgbd_quick() -> TrainConfig:
                 cost_class=1.0, cost_objectness=5.0, cost_center=5.0, cost_giou=3.0
             ),
             giou_weight=0.0,
+            matcher_giou="axis_aligned",
         ),
         data=DataConfig(dataset_name="sunrgbd", num_points=20000),
         max_epoch=90,

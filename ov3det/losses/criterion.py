@@ -74,8 +74,16 @@ def compute_assignments(
     flat_gt = jnp.tile(gt_corners, (L, 1, 1, 1))
     flat_n = jnp.tile(nactual, (L,))
     giou_dtype = jnp.bfloat16 if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16" else jnp.float32
+    # matcher_giou="axis_aligned": enclosing-AABB GIoU for the cost matrix
+    # (BASELINE.md north star; the polygon clip over all LxBxQxG pairs is
+    # ~35% of the train step, and the cost's 5x center + 5x objectness
+    # terms dominate assignment anyway). The exact rotated value is still
+    # used for the GIoU loss on matched pairs (set_criterion below).
+    matcher_rotated = rotated_boxes and (
+        getattr(cfg, "matcher_giou", "rotated") == "rotated"
+    )
     gious = generalized_box3d_iou(
-        flat_pred, flat_gt, flat_n, rotated_boxes=rotated_boxes,
+        flat_pred, flat_gt, flat_n, rotated_boxes=matcher_rotated,
         compute_dtype=giou_dtype,
     ).reshape(L, B, Q, G)
 
@@ -88,10 +96,13 @@ def compute_assignments(
     )  # (L, B, Q, G)
 
     gt_labels = targets["gt_box_sem_cls_label"]  # (B, G)
-    cls_prob_at_gt = jnp.take_along_axis(
-        outputs["sem_cls_prob"],
-        jnp.broadcast_to(gt_labels[None, :, None, :], (L, B, Q, G)),
-        axis=-1,
+    # prob-at-gt-class as a one-hot MXU contraction: the equivalent
+    # take_along_axis gather over (L,B,Q,G) indices lowers to a ~6ms
+    # custom scatter/gather fusion on TPU, the (Q,C)x(C,G) matmul to ~0
+    probs = outputs["sem_cls_prob"]  # (L, B, Q, C)
+    gt_onehot = jax.nn.one_hot(gt_labels, probs.shape[-1], dtype=probs.dtype)
+    cls_prob_at_gt = jnp.einsum(
+        "lbqc,bgc->lbqg", probs, gt_onehot, precision=jax.lax.Precision.HIGHEST
     )
     m = cfg.matcher
     cost = (
@@ -188,7 +199,38 @@ def set_criterion(
     losses["loss_center"] = jnp.sum(center_sel * matched, axis=(1, 2)) / num_boxes
 
     # --- giou (criterion.py:274-296)
-    giou_sel = jnp.take_along_axis(1.0 - assign["gious"], inds[..., None], -1)[..., 0]
+    matcher_exact = (not rotated) or getattr(cfg, "matcher_giou", "rotated") == "rotated"
+    if matcher_exact or cfg.giou_weight <= 0:
+        # the cost matrix already holds the loss-grade values (or the loss
+        # is log-only, where the AABB approximation is an accepted proxy)
+        giou_sel = jnp.take_along_axis(
+            1.0 - assign["gious"], inds[..., None], -1
+        )[..., 0]
+    else:
+        # axis-aligned matcher + active rotated GIoU loss: exact polygon
+        # clip on the Q matched pairs per layer only (QxG-fold less work
+        # than the reference's full-matrix reuse, criterion.py:356-360)
+        gt_corners = targets["gt_box_corners"]  # (B, G, 8, 3)
+        gt_at = jnp.take_along_axis(
+            jnp.broadcast_to(gt_corners[None], (L,) + gt_corners.shape),
+            inds[..., None, None],
+            axis=2,
+        )  # (L, B, Q, 8, 3)
+        pred = outputs["box_corners"]
+        P = L * pred.shape[1] * pred.shape[2]
+        giou_dtype = (
+            jnp.bfloat16
+            if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        g = generalized_box3d_iou(
+            pred.reshape(P, 1, 8, 3),
+            gt_at.reshape(P, 1, 8, 3),
+            jnp.ones((P,), jnp.int32),
+            rotated_boxes=True,
+            compute_dtype=giou_dtype,
+        )
+        giou_sel = 1.0 - g.reshape(L, pred.shape[1], pred.shape[2])
     losses["loss_giou"] = jnp.sum(giou_sel * matched, axis=(1, 2)) / num_boxes
 
     # --- size (criterion.py:298-337)

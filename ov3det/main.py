@@ -79,6 +79,10 @@ def make_args_parser():
     p.add_argument("--matcher_center_cost", default=0, type=float)
     p.add_argument("--matcher_objectness_cost", default=0, type=float)
     p.add_argument("--loss_giou_weight", default=0, type=float)
+    p.add_argument("--matcher_giou", default="axis_aligned",
+                   choices=["rotated", "axis_aligned"],
+                   help="GIoU flavor for the matcher COST matrix on rotated-"
+                   "box datasets; the GIoU loss stays exact either way")
     p.add_argument("--loss_sem_cls_weight", default=1, type=float)
     p.add_argument("--loss_no_object_weight", default=0.2, type=float)
     p.add_argument("--loss_angle_cls_weight", default=0.1, type=float)
@@ -156,6 +160,7 @@ def config_from_args(args) -> TrainConfig:
                 cost_giou=args.matcher_giou_cost,
             ),
             giou_weight=args.loss_giou_weight,
+            matcher_giou=args.matcher_giou,
             sem_cls_weight=args.loss_sem_cls_weight,
             no_object_weight=args.loss_no_object_weight,
             angle_cls_weight=args.loss_angle_cls_weight,
