@@ -234,3 +234,130 @@ class TestImageUtils:
         assert depths.shape == (4, 32, 41)
         assert poses.shape == (4, 4, 4)
         np.testing.assert_array_equal(mask, [1, 1, 0, 0])
+
+
+class TestLiftSunrgbd:
+    def test_lift_scene_backprojects_box(self, tmp_path):
+        """A 2D box over a uniform-depth, label-matched region lifts to the
+        AABB of its back-projected pixels (reference sunrgbd/lift_boxes.py
+        :38-61 flow)."""
+        from PIL import Image
+
+        from ov3det.tools.lift_boxes import LiftConfig, lift_scene_sunrgbd
+
+        H = W = 64
+        # identity Rtilt; K with f=32, c=32 (both written column-major)
+        calib = tmp_path / "calib"
+        calib.mkdir()
+        (calib / "000001.txt").write_text(
+            "1 0 0 0 1 0 0 0 1\n32 0 0 0 32 0 32 32 1\n"
+        )
+        depth_mm = np.full((H, W), 2000, np.uint16)  # 2 m everywhere
+        ddir = tmp_path / "depth"
+        ddir.mkdir()
+        Image.fromarray(depth_mm).save(ddir / "000001.png")
+        cls = 3
+        sem = np.full((H, W), 7, np.int64)
+        sem[10:31, 10:31] = cls  # label-matched region == the 2D box
+        ldir = tmp_path / "label"
+        ldir.mkdir()
+        np.save(ldir / "000001.npy", sem)
+        b2d = tmp_path / "boxes2d"
+        b2d.mkdir()
+        np.save(b2d / "000001.npy",
+                np.array([[10, 10, 20, 20, 0.9, cls]], np.float64))
+        out_dir = tmp_path / "out"
+
+        n = lift_scene_sunrgbd(
+            "000001",
+            calib_path_fmt=str(calib / "{}.txt"),
+            depth_path_fmt=str(ddir / "{}.png"),
+            label_path_fmt=str(ldir / "{}.npy"),
+            boxes2d_dir=str(b2d),
+            out_dir=str(out_dir),
+            cfg=LiftConfig(use_gss=False),
+        )
+        assert n == 1
+        box = np.load(out_dir / "000001_bbox.npy")[0]
+        # pixels u,v in [10,30], depth 2: x=(u-32)*2/32, cam y=(v-32)*2/32,
+        # depth coords (x, z=2, -y) -> AABB center/size
+        lo, hi = (10 - 32) * 2 / 32, (30 - 32) * 2 / 32
+        np.testing.assert_allclose(box[0], (lo + hi) / 2, atol=1e-6)  # cx
+        np.testing.assert_allclose(box[1], 2.0, atol=1e-6)  # cy (depth)
+        np.testing.assert_allclose(box[2], -(lo + hi) / 2, atol=1e-6)  # cz=-y
+        np.testing.assert_allclose(box[3], hi - lo, atol=1e-6)  # dx
+        np.testing.assert_allclose(box[4], 0.0, atol=1e-6)  # flat in depth
+        assert box[6] == cls and box[7] == pytest.approx(0.9)
+
+    def test_border_boxes_dropped(self, tmp_path):
+        from ov3det.tools.projection_np import get_edge_mask_2d
+
+        boxes = np.array([
+            [0, 10, 20, 20, 0.9, 1],     # touches left edge
+            [10, 10, 54, 20, 0.9, 1],    # x+w == W
+            [10, 10, 20, 20, 0.9, 1],    # interior
+        ], np.float64)
+        kept = get_edge_mask_2d(boxes, (64, 64))
+        assert kept.shape[0] == 1 and kept[0, 0] == 10
+
+
+class TestFormatTools:
+    def test_adjust_format_to_nyu40(self, tmp_path):
+        from ov3det.tools.format_tools import NYU40IDS, adjust_format_to_nyu40
+
+        ind = tmp_path / "in"
+        outd = tmp_path / "out"
+        ind.mkdir()
+        boxes = np.array([[0, 0, 0, 1, 1, 1, 0, 0.9],
+                          [1, 1, 1, 2, 2, 2, 17, 0.8]])
+        np.save(ind / "scene0000_00_bbox.npy", boxes)
+        np.save(ind / "scene0001_00_bbox.npy", np.zeros((0, 8)))
+        adjust_format_to_nyu40(str(ind), str(outd),
+                               ["scene0000_00", "scene0001_00"])
+        out = np.load(outd / "scene0000_00_bbox.npy")
+        assert out.shape == (2, 7)  # score column dropped
+        assert out[0, 6] == NYU40IDS[0] and out[1, 6] == NYU40IDS[17]
+        assert np.load(outd / "scene0001_00_bbox.npy").shape == (0, 7)
+
+    def test_generate_categories_matches_reference_schema(self):
+        from ov3det.tools.format_tools import generate_categories
+
+        cats = generate_categories(["chair", "sofa"])
+        assert cats[0]["id"] == 1 and cats[1]["name"] == "sofa"
+        assert cats[0]["synset"] == "chair.n.01"
+        assert set(cats[0]) == {
+            "id", "name", "frequency", "synset", "synonyms", "def",
+            "instance_count", "image_count",
+        }
+
+
+class TestClipLoss:
+    def test_symmetric_infonce(self):
+        """reference utils/ulip_losses.py:14-53 semantics: symmetric CE over
+        pc<->text logits with scale 1/0.07; perfect alignment on orthogonal
+        embeddings -> acc 100 and loss ~0."""
+        import jax.numpy as jnp
+
+        from ov3det.losses.clip_loss import clip_contrastive_loss
+
+        B, D = 4, 8
+        embeds = np.eye(B, D).astype(np.float32)
+        loss, metrics = clip_contrastive_loss(
+            jnp.asarray(embeds), jnp.asarray(embeds)
+        )
+        assert float(metrics["clip_acc"]) == 100.0
+        assert float(loss) < 1e-4
+
+        rng = np.random.default_rng(0)
+        pc = rng.normal(size=(B, D)).astype(np.float32)
+        tx = rng.normal(size=(B, D)).astype(np.float32)
+        loss, _ = clip_contrastive_loss(jnp.asarray(pc), jnp.asarray(tx))
+        # numpy oracle of the reference formula
+        pcn = pc / np.linalg.norm(pc, axis=-1, keepdims=True)
+        txn = tx / np.linalg.norm(tx, axis=-1, keepdims=True)
+        logits = (1 / 0.07) * pcn @ txn.T
+        def ce(lg):
+            lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) + lg.max(-1)
+            return np.mean(lse - np.diag(lg))
+        expected = 0.5 * (ce(logits) + ce(logits.T))
+        np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
