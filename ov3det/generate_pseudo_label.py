@@ -53,10 +53,17 @@ def run_inference(cfg, args) -> LabelFormatter:
     state, _, eval_step, _ = build_training(
         cfg, model, inputs, iters_per_epoch=1, rng=jax.random.PRNGKey(cfg.seed)
     )
-    assert cfg.checkpoint_dir, "need --checkpoint_dir with a trained checkpoint"
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    restored, epoch, _ = ckpt.restore(jax.device_get(state))
-    assert restored is not None, f"no checkpoint found in {cfg.checkpoint_dir}"
+    # --test_ckpt points at one orbax checkpoint directory (reference
+    # generate_pseudo_label.py:221-227 loads args.test_ckpt); falls back to
+    # the run's --checkpoint_dir latest checkpoint
+    if args.test_ckpt:
+        ckpt_dir, name = os.path.split(os.path.abspath(args.test_ckpt.rstrip("/")))
+    else:
+        assert cfg.checkpoint_dir, "set --test_ckpt or --checkpoint_dir"
+        ckpt_dir, name = cfg.checkpoint_dir, "checkpoint"
+    ckpt = CheckpointManager(ckpt_dir)
+    restored, epoch, _ = ckpt.restore(jax.device_get(state), name=name)
+    assert restored is not None, f"no checkpoint found at {ckpt_dir}/{name}"
     state = jax.device_put(restored)
     print(f"loaded checkpoint from epoch {epoch}")
 

@@ -49,7 +49,12 @@ class LabelFormatter:
     ):
         self.boxes = []
         self.output_path = output_path
-        self.raw_label_path = os.path.join(label_path, "{}.npy")
+        # label_path=None skips the modal-semantic-label agreement filter
+        # (gen_pseudo keeps every thresholded box) — for datasets without
+        # per-scan point-label files
+        self.raw_label_path = (
+            os.path.join(label_path, "{}.npy") if label_path else None
+        )
         self.scene_list = list(scene_list)
         self.num_classes = num_classes
 
@@ -108,11 +113,18 @@ class LabelFormatter:
         semantic label of its contained points equals the box label
         (reference :134-167)."""
         scan_name = self.scene_list[idx]
+        mask = self.pseudo_boxes[:, -1] == idx
+        if self.raw_label_path is None:
+            out_boxes = self.pseudo_boxes[mask][:, :7]
+            os.makedirs(self.output_path, exist_ok=True)
+            np.save(
+                os.path.join(self.output_path, scan_name) + "_bbox.npy", out_boxes
+            )
+            return out_boxes.shape[0]
         raw = np.load(self.raw_label_path.format(scan_name))
         points = raw[:, :3]
         sem = self.project_label(raw[:, 3], pseudo=True)
         out_boxes = np.zeros((0, 7))
-        mask = self.pseudo_boxes[:, -1] == idx
         n = 0
         if mask.sum() > 0:
             filtered = []
