@@ -426,7 +426,7 @@ def do_train(cfg: TrainConfig, args=None):
     return state
 
 
-def test_model(cfg: TrainConfig):
+def test_model(cfg: TrainConfig, test_ckpt: str | None = None):
     datasets, dataset_config = build_dataset(cfg.data, splits=("test",))
     test_loader = DataLoader(
         datasets["test"],
@@ -444,10 +444,16 @@ def test_model(cfg: TrainConfig):
     state, _, eval_step, _ = build_training(
         cfg, model, inputs, iters_per_epoch=1, rng=jax.random.PRNGKey(cfg.seed)
     )
-    assert cfg.checkpoint_dir, "set --checkpoint_dir (or --test_ckpt dir)"
-    ckpt = CheckpointManager(cfg.checkpoint_dir)
-    restored, epoch, _ = ckpt.restore(jax.device_get(state))
-    assert restored is not None, f"no checkpoint in {cfg.checkpoint_dir}"
+    # --test_ckpt names one orbax checkpoint directory (reference
+    # main.py:374-375); otherwise the run dir's latest checkpoint is used
+    if test_ckpt:
+        ckpt_dir, name = os.path.split(os.path.abspath(test_ckpt.rstrip("/")))
+    else:
+        assert cfg.checkpoint_dir, "set --test_ckpt or --checkpoint_dir"
+        ckpt_dir, name = cfg.checkpoint_dir, "checkpoint"
+    ckpt = CheckpointManager(ckpt_dir)
+    restored, epoch, _ = ckpt.restore(jax.device_get(state), name=name)
+    assert restored is not None, f"no checkpoint at {ckpt_dir}/{name}"
     state = jax.device_put(restored)
     ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
     m = ap.compute_metrics()
@@ -461,7 +467,7 @@ def main(argv=None):
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
     if args.test_only:
-        test_model(cfg)
+        test_model(cfg, test_ckpt=args.test_ckpt)
     else:
         do_train(cfg, args)
 
