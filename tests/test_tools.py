@@ -361,3 +361,58 @@ class TestClipLoss:
             return np.mean(lse - np.diag(lg))
         expected = 0.5 * (ce(logits) + ce(logits.T))
         np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+
+
+class TestClipText:
+    def _tokenizer(self, tmp_path):
+        import gzip
+
+        from ov3det.models.clip_text import SimpleBPETokenizer
+
+        merges = "#version\nh e\nl l\nhe ll\nhell o</w>\no</w> !\n"
+        path = tmp_path / "bpe.txt.gz"
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            f.write(merges)
+        return SimpleBPETokenizer(str(path), context_length=12)
+
+    def test_bpe_greedy_merges(self, tmp_path):
+        tok = self._tokenizer(tmp_path)
+        # "hello" -> h+e, l+l, he+ll, hell+o</w> by ascending merge rank
+        ids = tok.encode("hello")
+        assert len(ids) == 1 and ids[0] == tok.encoder["hello</w>"]
+        # unmergeable word falls back to byte-level pieces (+ </w> on last)
+        ids = tok.encode("hi")
+        assert ids == [tok.encoder["h"], tok.encoder["i</w>"]]
+
+    def test_call_frames_and_pads(self, tmp_path):
+        tok = self._tokenizer(tmp_path)
+        arr = tok(["hello", "hello hello"])
+        assert arr.shape == (2, 12)
+        sot, eot = tok.encoder["<|startoftext|>"], tok.encoder["<|endoftext|>"]
+        assert arr[0, 0] == sot and arr[0, 2] == eot and arr[0, 3:].sum() == 0
+        assert list(arr[1, :4]) == [sot, tok.encoder["hello</w>"],
+                                    tok.encoder["hello</w>"], eot]
+
+    def test_extract_class_embeddings(self, tmp_path):
+        import jax
+
+        from ov3det.models.clip_text import (
+            CLIPTextEncoder,
+            extract_class_embeddings,
+            tokenize_prompts,
+        )
+
+        tok = self._tokenizer(tmp_path)
+        enc = CLIPTextEncoder(vocab_size=1000, context_length=12, width=32,
+                              heads=2, layers=2, embed_dim=16)
+        prompts = tokenize_prompts(
+            ["hello", "hi", "hello"], tok, templates=["a {}.", "the {}."]
+        )
+        assert prompts.shape == (3, 2, 12)
+        variables = enc.init(jax.random.PRNGKey(0), prompts[0] % 1000)
+        emb = extract_class_embeddings(enc, variables, prompts % 1000)
+        assert emb.shape == (3, 16)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
+        # identical class names -> identical ensembled embeddings
+        np.testing.assert_allclose(emb[0], emb[2], atol=1e-6)
+        assert not np.allclose(emb[0], emb[1], atol=1e-3)
