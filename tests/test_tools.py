@@ -416,3 +416,32 @@ class TestClipText:
         # identical class names -> identical ensembled embeddings
         np.testing.assert_allclose(emb[0], emb[2], atol=1e-6)
         assert not np.allclose(emb[0], emb[1], atol=1e-3)
+
+
+class TestVisualize:
+    def test_ply_roundtrip(self, tmp_path):
+        from ov3det.utils.visualize import (
+            boxes_cs_to_corners,
+            write_scene_with_boxes,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(50, 3)).astype(np.float32)
+        cols = rng.uniform(size=(50, 3)).astype(np.float32)
+        boxes = np.array([[0, 0, 0, 2, 4, 6, 3, 0.9]])
+        corners = boxes_cs_to_corners(boxes)
+        assert corners.shape == (1, 8, 3)
+        np.testing.assert_allclose(corners.min(1), [[-1, -2, -3]])
+        np.testing.assert_allclose(corners.max(1), [[1, 2, 3]])
+
+        write_scene_with_boxes(pts, corners, str(tmp_path / "scene"), cols)
+        pc = (tmp_path / "scene_pc.ply").read_text().splitlines()
+        assert pc[0] == "ply" and "element vertex 50" in pc
+        body = pc[pc.index("end_header") + 1:]
+        assert len(body) == 50 and len(body[0].split()) == 6  # xyz + rgb
+        np.testing.assert_allclose(
+            [float(v) for v in body[0].split()[:3]], pts[0], atol=1e-4
+        )
+        bx = (tmp_path / "scene_boxes.ply").read_text().splitlines()
+        assert "element vertex 8" in bx and "element edge 12" in bx
+        assert bx[-1] == "3 7"  # last edge of the canonical box wiring
