@@ -35,8 +35,8 @@ from ov3det.models import Model3DETR
 REFERENCE_SCENES_PER_SEC = 6.6  # see module docstring
 BATCH = 8
 NUM_POINTS = 20000
-WARMUP = 3
-ITERS = 20
+WARMUP = 5
+ITERS = 40
 
 
 def main():
