@@ -53,3 +53,25 @@ def test_train_loop_synthetic(tmp_path):
     # test-only path restores the checkpoint and evaluates
     m = run_test_model(cfg)
     assert 0.25 in m and "mAP" in m[0.25]
+
+
+def test_run_scripts_use_valid_flags():
+    """Every flag in scripts/*.sh must exist on the CLI parsers (the
+    reference ships 7 canned configs, scripts/*.sh; a renamed flag would
+    silently break them)."""
+    import glob
+    import re
+
+    from ov3det.generate_pseudo_label import make_pseudo_label_parser
+    from ov3det.main import make_args_parser
+
+    known = set()
+    for p in (make_args_parser(), make_pseudo_label_parser()):
+        for a in p._actions:
+            known.update(a.option_strings)
+    scripts = sorted(glob.glob(os.path.join(os.path.dirname(__file__),
+                                            "..", "scripts", "*.sh")))
+    assert len(scripts) == 7
+    for fn in scripts:
+        for flag in re.findall(r"--[a-z0-9_]+", open(fn).read()):
+            assert flag in known, (fn, flag)
