@@ -110,7 +110,9 @@ class LossConfig:
     # the GIoU *loss*, when active, is still the exact rotated value,
     # computed only on the Q matched pairs per layer instead of all QxG.
     # On axis-aligned datasets (ScanNet) the two are identical.
-    matcher_giou: str = "rotated"
+    # Default matches the CLI and COMPONENTS.md; golden parity tests pin
+    # "rotated" explicitly.
+    matcher_giou: str = "axis_aligned"
 
 
 @dataclass(frozen=True)

@@ -1,4 +1,4 @@
-from ov3det.engine.checkpoint import CheckpointManager
+from ov3det.engine.checkpoint import CheckpointManager, restore_eval_checkpoint
 from ov3det.engine.runtime import PreemptionGuard, init_multihost, profile_steps
 from ov3det.engine.schedule import make_lr_schedule
 from ov3det.engine.train import (
@@ -12,6 +12,7 @@ from ov3det.engine.train import (
 
 __all__ = [
     "CheckpointManager",
+    "restore_eval_checkpoint",
     "PreemptionGuard",
     "init_multihost",
     "profile_steps",

@@ -65,3 +65,19 @@ class CheckpointManager:
             restored = self._ckptr.restore(path)
             extra = restored.get("extra")
         return restored["state"], int(restored["epoch"]), extra
+
+
+def restore_eval_checkpoint(abstract_state, test_ckpt=None, checkpoint_dir=None):
+    """Resolve --test_ckpt (one orbax checkpoint dir, reference
+    main.py:374-375) or fall back to checkpoint_dir's latest checkpoint;
+    returns (state, epoch). Shared by the test-only and pseudo-label CLIs."""
+    if test_ckpt:
+        ckpt_dir, name = os.path.split(os.path.abspath(test_ckpt.rstrip("/")))
+    else:
+        assert checkpoint_dir, "set --test_ckpt or --checkpoint_dir"
+        ckpt_dir, name = checkpoint_dir, "checkpoint"
+    restored, epoch, _ = CheckpointManager(ckpt_dir).restore(
+        abstract_state, name=name
+    )
+    assert restored is not None, f"no checkpoint at {ckpt_dir}/{name}"
+    return restored, epoch

@@ -17,7 +17,7 @@ import numpy as np
 
 from ov3det.datasets.loader import DataLoader
 from ov3det.datasets.registry import build_dataset
-from ov3det.engine import CheckpointManager, build_training
+from ov3det.engine import build_training, restore_eval_checkpoint
 from ov3det.main import config_from_args, make_args_parser
 from ov3det.models import Model3DETR
 from ov3det.tools.label_formatter import LabelFormatter
@@ -53,17 +53,9 @@ def run_inference(cfg, args) -> LabelFormatter:
     state, _, eval_step, _ = build_training(
         cfg, model, inputs, iters_per_epoch=1, rng=jax.random.PRNGKey(cfg.seed)
     )
-    # --test_ckpt points at one orbax checkpoint directory (reference
-    # generate_pseudo_label.py:221-227 loads args.test_ckpt); falls back to
-    # the run's --checkpoint_dir latest checkpoint
-    if args.test_ckpt:
-        ckpt_dir, name = os.path.split(os.path.abspath(args.test_ckpt.rstrip("/")))
-    else:
-        assert cfg.checkpoint_dir, "set --test_ckpt or --checkpoint_dir"
-        ckpt_dir, name = cfg.checkpoint_dir, "checkpoint"
-    ckpt = CheckpointManager(ckpt_dir)
-    restored, epoch, _ = ckpt.restore(jax.device_get(state), name=name)
-    assert restored is not None, f"no checkpoint found at {ckpt_dir}/{name}"
+    restored, epoch = restore_eval_checkpoint(
+        jax.device_get(state), args.test_ckpt, cfg.checkpoint_dir
+    )
     state = jax.device_put(restored)
     print(f"loaded checkpoint from epoch {epoch}")
 

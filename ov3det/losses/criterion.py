@@ -30,6 +30,14 @@ from ov3det.geometry import generalized_box3d_iou
 from ov3det.ops import auction_lap
 
 
+def _giou_dtype(cfg):
+    return (
+        jnp.bfloat16
+        if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16"
+        else jnp.float32
+    )
+
+
 def huber_loss(error: jnp.ndarray, delta: float = 1.0) -> jnp.ndarray:
     """reference utils/misc.py:25-36."""
     abs_error = jnp.abs(error)
@@ -73,15 +81,15 @@ def compute_assignments(
     flat_pred = pred_corners.reshape(L * B, Q, 8, 3)
     flat_gt = jnp.tile(gt_corners, (L, 1, 1, 1))
     flat_n = jnp.tile(nactual, (L,))
-    giou_dtype = jnp.bfloat16 if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16" else jnp.float32
+    giou_dtype = _giou_dtype(cfg)
     # matcher_giou="axis_aligned": enclosing-AABB GIoU for the cost matrix
     # (BASELINE.md north star; the polygon clip over all LxBxQxG pairs is
     # ~35% of the train step, and the cost's 5x center + 5x objectness
     # terms dominate assignment anyway). The exact rotated value is still
     # used for the GIoU loss on matched pairs (set_criterion below).
-    matcher_rotated = rotated_boxes and (
-        getattr(cfg, "matcher_giou", "rotated") == "rotated"
-    )
+    mode = getattr(cfg, "matcher_giou", "rotated")
+    assert mode in ("rotated", "axis_aligned"), f"matcher_giou: {mode!r}"
+    matcher_rotated = rotated_boxes and mode == "rotated"
     gious = generalized_box3d_iou(
         flat_pred, flat_gt, flat_n, rotated_boxes=matcher_rotated,
         compute_dtype=giou_dtype,
@@ -218,17 +226,12 @@ def set_criterion(
         )  # (L, B, Q, 8, 3)
         pred = outputs["box_corners"]
         P = L * pred.shape[1] * pred.shape[2]
-        giou_dtype = (
-            jnp.bfloat16
-            if getattr(cfg, "giou_compute_dtype", "float32") == "bfloat16"
-            else jnp.float32
-        )
         g = generalized_box3d_iou(
             pred.reshape(P, 1, 8, 3),
             gt_at.reshape(P, 1, 8, 3),
             jnp.ones((P,), jnp.int32),
             rotated_boxes=True,
-            compute_dtype=giou_dtype,
+            compute_dtype=_giou_dtype(cfg),
         )
         giou_sel = 1.0 - g.reshape(L, pred.shape[1], pred.shape[2])
     losses["loss_giou"] = jnp.sum(giou_sel * matched, axis=(1, 2)) / num_boxes

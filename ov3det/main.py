@@ -35,7 +35,12 @@ from ov3det.config import (
 )
 from ov3det.datasets.loader import DataLoader
 from ov3det.datasets.registry import build_dataset
-from ov3det.engine import CheckpointManager, PreemptionGuard, build_training
+from ov3det.engine import (
+    CheckpointManager,
+    PreemptionGuard,
+    build_training,
+    restore_eval_checkpoint,
+)
 from ov3det.eval import APCalculator
 from ov3det.models import Model3DETR
 from ov3det.parallel import batch_sharding, make_mesh, replicate
@@ -444,16 +449,9 @@ def test_model(cfg: TrainConfig, test_ckpt: str | None = None):
     state, _, eval_step, _ = build_training(
         cfg, model, inputs, iters_per_epoch=1, rng=jax.random.PRNGKey(cfg.seed)
     )
-    # --test_ckpt names one orbax checkpoint directory (reference
-    # main.py:374-375); otherwise the run dir's latest checkpoint is used
-    if test_ckpt:
-        ckpt_dir, name = os.path.split(os.path.abspath(test_ckpt.rstrip("/")))
-    else:
-        assert cfg.checkpoint_dir, "set --test_ckpt or --checkpoint_dir"
-        ckpt_dir, name = cfg.checkpoint_dir, "checkpoint"
-    ckpt = CheckpointManager(ckpt_dir)
-    restored, epoch, _ = ckpt.restore(jax.device_get(state), name=name)
-    assert restored is not None, f"no checkpoint at {ckpt_dir}/{name}"
+    restored, epoch = restore_eval_checkpoint(
+        jax.device_get(state), test_ckpt, cfg.checkpoint_dir
+    )
     state = jax.device_put(restored)
     ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
     m = ap.compute_metrics()

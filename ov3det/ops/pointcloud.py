@@ -56,8 +56,16 @@ def furthest_point_sample(
     xyz = jax.lax.stop_gradient(xyz)
 
     if use_pallas is None:
+        # auto only on a single device: under GSPMD the trace-time shape is
+        # the GLOBAL batch and pallas_call carries no partitioning rule, so
+        # a sharded operand would be replicated (or rejected) per chip;
+        # multi-chip runs keep the XLA path until FPS is shard_map-wrapped
+        # (batch-parallel, so the wrap is mechanical). The 12 MB bound keeps
+        # the four (B, N) f32 VMEM buffers comfortably on-chip.
         use_pallas = (
-            jax.default_backend() == "tpu" and 16 * B * N <= 12 * 2**20
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and 16 * B * N <= 12 * 2**20
         )
     if use_pallas:
         from ov3det.ops.pallas.fps_kernel import furthest_point_sample_pallas

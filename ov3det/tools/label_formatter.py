@@ -116,17 +116,10 @@ class LabelFormatter:
         mask = self.pseudo_boxes[:, -1] == idx
         if self.raw_label_path is None:
             out_boxes = self.pseudo_boxes[mask][:, :7]
-            os.makedirs(self.output_path, exist_ok=True)
-            np.save(
-                os.path.join(self.output_path, scan_name) + "_bbox.npy", out_boxes
-            )
-            return out_boxes.shape[0]
-        raw = np.load(self.raw_label_path.format(scan_name))
-        points = raw[:, :3]
-        sem = self.project_label(raw[:, 3], pseudo=True)
-        out_boxes = np.zeros((0, 7))
-        n = 0
-        if mask.sum() > 0:
+        else:
+            raw = np.load(self.raw_label_path.format(scan_name))
+            points = raw[:, :3]
+            sem = self.project_label(raw[:, 3], pseudo=True)
             filtered = []
             for box in self.pseudo_boxes[mask]:
                 inside = self.crop_pc_mask(points, box) & (sem != IGNORE_LABEL)
@@ -134,12 +127,12 @@ class LabelFormatter:
                     vals, counts = np.unique(sem[inside], return_counts=True)
                     if vals[np.argmax(counts)] == box[6]:
                         filtered.append(box)
-            if filtered:
-                out_boxes = np.stack(filtered, 0)[:, :7]
-            n = len(filtered)
+            out_boxes = (
+                np.stack(filtered, 0)[:, :7] if filtered else np.zeros((0, 7))
+            )
         os.makedirs(self.output_path, exist_ok=True)
         np.save(os.path.join(self.output_path, scan_name) + "_bbox.npy", out_boxes)
-        return n
+        return out_boxes.shape[0]
 
     def save(self, processes: Optional[int] = None) -> int:
         if processes == 0:

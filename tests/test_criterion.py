@@ -158,6 +158,7 @@ def ref_assignments_and_losses(outputs, targets, nactual, cfg: LossConfig):
 CFG = LossConfig(
     matcher=MatcherConfig(cost_class=2.0, cost_objectness=0.0, cost_center=5.0, cost_giou=2.0),
     giou_compute_dtype="float32",  # exact parity vs the reference oracle
+    matcher_giou="rotated",  # reference-parity matcher cost
     giou_weight=1.0,
     sem_cls_weight=1.0,
     no_object_weight=0.2,
