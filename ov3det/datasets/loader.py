@@ -21,6 +21,20 @@ def collate(samples: list[dict]) -> dict:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def valid_count(batch: dict) -> int:
+    """Number of real (non-pad) samples in a batch produced by DataLoader
+    with drop_last=False; full batch size when no padding happened."""
+    mask = batch.get("valid_mask")
+    if mask is None:
+        return int(batch["point_clouds"].shape[0])
+    return int(np.asarray(mask).sum())
+
+
+def slice_valid(tree: dict, n: int) -> dict:
+    """Strip pad samples (always at the tail) from every batched array."""
+    return {k: v[:n] for k, v in tree.items()}
+
+
 class DataLoader:
     def __init__(
         self,
@@ -58,7 +72,17 @@ class DataLoader:
             rng.shuffle(order)
         nb = len(self)
         for b in range(nb):
-            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            n_valid = len(idxs)
+            if n_valid < self.batch_size:
+                # pad-and-mask: keep the fixed jit shape by repeating the
+                # last sample; callers strip the tail via valid_count/
+                # slice_valid.  The reference torch DataLoader keeps the
+                # partial batch (dynamic shape) — on TPU that would force a
+                # recompile, so we pad instead and mask host-side.
+                pad = np.full(self.batch_size - n_valid, idxs[-1], idxs.dtype)
+                idxs = np.concatenate([idxs, pad])
+            yield idxs, n_valid
 
     def __iter__(self) -> Iterator[dict]:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -66,9 +90,13 @@ class DataLoader:
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in self._index_batches():
+                for idxs, n_valid in self._index_batches():
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
                     batch = collate(samples)
+                    if not self.drop_last:
+                        batch["valid_mask"] = (
+                            np.arange(self.batch_size) < n_valid
+                        ).astype(np.float32)
                     if self.sharding is not None:
                         batch = jax.tree_util.tree_map(
                             lambda x: jax.device_put(x, self.sharding), batch

@@ -7,6 +7,7 @@ optimizer and continues at epoch+1).
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -29,11 +30,20 @@ class CheckpointManager:
             "state": jax.device_get(state),
             "epoch": np.asarray(epoch),
         }
-        if extra:
-            payload["extra"] = jax.device_get(extra)
         path = self._path(name)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
+        if extra:
+            self.write_extra(extra, name)
+
+    def write_extra(self, extra: dict, name: str = "checkpoint"):
+        """Small scalar payload (best_val_metrics equivalent, reference
+        utils/io.py:8-30 stores it inside checkpoint.pth) — a JSON sidecar
+        keeps the orbax tree structure independent of it, and lets the
+        train loop refresh best-AP bookkeeping without rewriting the
+        checkpoint itself."""
+        with open(self._path(name) + ".extra.json", "w") as fh:
+            json.dump({k: float(v) for k, v in jax.device_get(extra).items()}, fh)
 
     def save_latest(self, state, epoch, extra=None):
         self.save(state, epoch, "checkpoint", extra)
@@ -57,13 +67,11 @@ class CheckpointManager:
             "state": abstract_state,
             "epoch": np.asarray(0),
         }
-        # tolerate checkpoints written with the optional extra payload
-        try:
-            restored = self._ckptr.restore(path, abstract)
-            extra = None
-        except BaseException:
-            restored = self._ckptr.restore(path)
-            extra = restored.get("extra")
+        restored = self._ckptr.restore(path, abstract)
+        extra = None
+        if os.path.isfile(path + ".extra.json"):
+            with open(path + ".extra.json") as fh:
+                extra = json.load(fh)
         return restored["state"], int(restored["epoch"]), extra
 
 

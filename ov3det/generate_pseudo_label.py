@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ov3det.datasets.loader import DataLoader
+from ov3det.datasets.loader import DataLoader, slice_valid, valid_count
 from ov3det.datasets.registry import build_dataset
 from ov3det.engine import build_training, restore_eval_checkpoint
 from ov3det.main import config_from_args, make_args_parser
@@ -41,6 +41,7 @@ def run_inference(cfg, args) -> LabelFormatter:
         dataset,
         batch_size=cfg.data.batch_size_per_device,
         shuffle=False,
+        drop_last=False,
         num_workers=cfg.data.num_workers,
     )
     model = Model3DETR(cfg.model)
@@ -67,7 +68,10 @@ def run_inference(cfg, args) -> LabelFormatter:
     )
     for batch in loader:
         outputs = eval_step(state, batch)
-        formatter.step(outputs, batch)
+        # strip tail-padding of the final partial batch: a duplicated pad
+        # sample would write its predictions twice into the same scan's rows
+        n = valid_count(batch)
+        formatter.step(slice_valid(outputs, n), slice_valid(batch, n))
     return formatter
 
 

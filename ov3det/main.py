@@ -33,7 +33,7 @@ from ov3det.config import (
     TeacherConfig,
     TrainConfig,
 )
-from ov3det.datasets.loader import DataLoader
+from ov3det.datasets.loader import DataLoader, slice_valid, valid_count
 from ov3det.datasets.registry import build_dataset
 from ov3det.engine import (
     CheckpointManager,
@@ -265,7 +265,11 @@ def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
     )
     for batch in loader:
         outputs = eval_step(state, batch)
-        ap.step_meter(outputs, batch)
+        # partial final batch: loader padded it to the fixed jit shape by
+        # repeating the last sample — strip the pad so each scan scores once
+        # (reference torch DataLoader keeps the partial batch itself)
+        n = valid_count(batch)
+        ap.step_meter(slice_valid(outputs, n), slice_valid(batch, n))
     return ap
 
 
@@ -286,6 +290,7 @@ def do_train(cfg: TrainConfig, args=None):
         datasets["test"],
         batch_size=cfg.data.batch_size_per_device * cfg.num_devices,
         shuffle=False,
+        drop_last=False,
         num_workers=cfg.data.num_workers,
         sharding=sharding,
     )
@@ -315,10 +320,14 @@ def do_train(cfg: TrainConfig, args=None):
 
     assert cfg.checkpoint_dir, "set --checkpoint_dir"
     ckpt = CheckpointManager(cfg.checkpoint_dir)
-    restored, loaded_epoch, _ = ckpt.restore(jax.device_get(state))
+    restored, loaded_epoch, extra = ckpt.restore(jax.device_get(state))
+    # reference persists best_val_metrics inside checkpoint.pth and restores
+    # it on resume (utils/io.py:33-58) so a preemption-resume never lets a
+    # worse eval overwrite checkpoint_best
+    best_ap25 = float((extra or {}).get("best_ap25", -1.0))
     if restored is not None:
         state = replicate(restored, mesh) if mesh else jax.device_put(restored)
-        print(f"resumed from epoch {loaded_epoch}")
+        print(f"resumed from epoch {loaded_epoch} (best AP25 {best_ap25:.4f})")
     start_epoch = loaded_epoch + 1
 
     final_eval = os.path.join(cfg.checkpoint_dir, "final_eval.txt")
@@ -329,7 +338,6 @@ def do_train(cfg: TrainConfig, args=None):
 
     logger = Logger(cfg.checkpoint_dir)
     guard = PreemptionGuard()
-    best_ap25 = -1.0
     best_metrics = {}
     iters_per_epoch = len(train_loader)
     max_iters = cfg.max_epoch * iters_per_epoch
@@ -347,7 +355,7 @@ def do_train(cfg: TrainConfig, args=None):
         for it, batch in enumerate(train_loader):
             if guard.should_stop:
                 # preemption: persist the latest state and exit cleanly
-                ckpt.save_latest(state, epoch - 1)
+                ckpt.save_latest(state, epoch - 1, extra={"best_ap25": best_ap25})
                 print("preemption signal received; checkpoint saved, exiting")
                 return state
             t0 = time.time()
@@ -383,7 +391,7 @@ def do_train(cfg: TrainConfig, args=None):
                     prefix="Train/",
                 )
 
-        ckpt.save_latest(state, epoch)
+        ckpt.save_latest(state, epoch, extra={"best_ap25": best_ap25})
         if (
             epoch > 0
             and cfg.save_separate_checkpoint_every_epoch > 0
@@ -414,7 +422,10 @@ def do_train(cfg: TrainConfig, args=None):
             if ap25 > best_ap25:
                 best_ap25 = ap25
                 best_metrics = m
-                ckpt.save_best(state, epoch)
+                ckpt.save_best(state, epoch, extra={"best_ap25": best_ap25})
+                # refresh the latest checkpoint's bookkeeping too: it was
+                # written before this eval, and resume reads best_ap25 from it
+                ckpt.write_extra({"best_ap25": best_ap25})
                 print(f"saved new best checkpoint (AP25 {ap25:.4f})")
 
     # final eval
@@ -437,6 +448,7 @@ def test_model(cfg: TrainConfig, test_ckpt: str | None = None):
         datasets["test"],
         batch_size=cfg.data.batch_size_per_device,
         shuffle=False,
+        drop_last=False,
         num_workers=cfg.data.num_workers,
     )
     model = Model3DETR(cfg.model)

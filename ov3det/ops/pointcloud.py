@@ -20,10 +20,52 @@ are the correctness oracle and the CPU/interpret fallback.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _BIG = 1e10
+
+
+def _mesh_size_for(batch: int) -> int:
+    """Size of the active data mesh if the batch shards evenly, else 1."""
+    from ov3det.parallel.mesh import data_mesh
+
+    mesh = data_mesh()
+    if mesh is not None and mesh.size > 1 and batch % mesh.size == 0:
+        return mesh.size
+    return 1
+
+
+def _pallas_dispatch(xyz: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Run the Pallas FPS kernel, shard_map-wrapped over the data mesh.
+
+    FPS is batch-parallel (reference FPS at models/model_3detr.py:174 is
+    per-sample), so each device runs the kernel on its local batch shard;
+    no collectives are needed.  interpret=True on non-TPU backends lets the
+    multi-chip dry run / CPU-mesh tests exercise this exact path.
+    """
+    from functools import partial
+
+    from ov3det.ops.pallas.fps_kernel import furthest_point_sample_pallas
+    from ov3det.parallel.mesh import DATA_AXIS, data_mesh
+
+    interpret = jax.default_backend() != "tpu"
+    fn = partial(
+        furthest_point_sample_pallas, num_samples=num_samples, interpret=interpret
+    )
+    mesh = data_mesh()
+    if mesh is not None and mesh.size > 1 and xyz.shape[0] % mesh.size == 0:
+        from jax.sharding import PartitionSpec as P
+
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation; the kernel is trivially batch-parallel anyway
+        fn = jax.shard_map(
+            fn, mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    return fn(xyz)
 
 
 def furthest_point_sample(
@@ -39,9 +81,12 @@ def furthest_point_sample(
     (CUDA-parity: seed index 0, argmax ties -> lowest index) with the
     min-distance state VMEM-resident for all k iterations — ~100x faster
     than the XLA fori_loop and strictly better than the sharded
-    approximation, so `shards` is ignored there.  `use_pallas` forces the
-    dispatch either way (None = auto: TPU backend and the four (B, N) f32
-    VMEM buffers fit comfortably).
+    approximation, so `shards` is ignored there.  Under an active data mesh
+    the kernel is shard_map-wrapped over the batch axis, so multi-chip
+    data-parallel runs keep the fast path.  `use_pallas` forces the
+    dispatch either way (None = auto: TPU backend and the four (local_B, N)
+    f32 VMEM buffers fit comfortably; on non-TPU backends a forced dispatch
+    runs in interpret mode).
 
     On other backends: shards=1 is exact greedy FPS; shards=S > 1 is the
     parallel approximation — the point set is split into S strided shards,
@@ -56,21 +101,23 @@ def furthest_point_sample(
     xyz = jax.lax.stop_gradient(xyz)
 
     if use_pallas is None:
-        # auto only on a single device: under GSPMD the trace-time shape is
-        # the GLOBAL batch and pallas_call carries no partitioning rule, so
-        # a sharded operand would be replicated (or rejected) per chip;
-        # multi-chip runs keep the XLA path until FPS is shard_map-wrapped
-        # (batch-parallel, so the wrap is mechanical). The 12 MB bound keeps
-        # the four (B, N) f32 VMEM buffers comfortably on-chip.
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and 16 * B * N <= 12 * 2**20
-        )
+        # Pallas auto-dispatch on TPU.  pallas_call carries no GSPMD
+        # partitioning rule, so under a data mesh the kernel is wrapped in
+        # shard_map over the batch axis (_pallas_dispatch) — FPS is
+        # batch-parallel, each chip runs the kernel on its local shard.
+        # The 12 MB bound keeps the four (local_B, N) f32 VMEM buffers
+        # comfortably on-chip.  OV3DET_FPS=pallas|xla overrides (the
+        # multi-chip dry run uses it to drive the kernel path on CPU).
+        force = os.environ.get("OV3DET_FPS")
+        if force in ("pallas", "xla"):
+            use_pallas = force == "pallas"
+        else:
+            local_b = B // _mesh_size_for(B)
+            use_pallas = (
+                jax.default_backend() == "tpu" and 16 * local_b * N <= 12 * 2**20
+            )
     if use_pallas:
-        from ov3det.ops.pallas.fps_kernel import furthest_point_sample_pallas
-
-        return furthest_point_sample_pallas(xyz, num_samples)
+        return _pallas_dispatch(xyz, num_samples)
 
     if shards > 1:
         assert num_samples % shards == 0 and N % shards == 0, (num_samples, N, shards)

@@ -21,12 +21,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# Active data mesh registry: ops that need an explicit shard_map wrap (the
+# Pallas FPS kernel has no GSPMD partitioning rule) look the mesh up here at
+# trace time instead of threading it through every flax module.
+_DATA_MESH: Optional[Mesh] = None
+
+
+def set_data_mesh(mesh: Optional[Mesh]):
+    global _DATA_MESH
+    _DATA_MESH = mesh
+
+
+def data_mesh() -> Optional[Mesh]:
+    return _DATA_MESH
+
 
 def make_mesh(num_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.array(devices), (DATA_AXIS,))
+    mesh = Mesh(np.array(devices), (DATA_AXIS,))
+    set_data_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

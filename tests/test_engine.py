@@ -130,6 +130,31 @@ class TestTraining:
         none_state, epoch2, _ = mgr2.restore(jax.device_get(state))
         assert none_state is None and epoch2 == -1
 
+    def test_best_ap_extra_persists_across_resume(self, tmp_path):
+        """Reference persists best_val_metrics in checkpoint.pth and restores
+        it on resume (utils/io.py:33-58) — a resume must not let a worse
+        eval overwrite checkpoint_best."""
+        cfg = tiny_train_cfg()
+        model = Model3DETR(cfg.model)
+        batch = batch_for(cfg)
+        inputs = {
+            "point_clouds": batch["point_clouds"],
+            "point_cloud_dims_min": batch["point_cloud_dims_min"],
+            "point_cloud_dims_max": batch["point_cloud_dims_max"],
+        }
+        state, _, _, _ = build_training(
+            cfg, model, inputs, iters_per_epoch=10, rng=jax.random.PRNGKey(0)
+        )
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save_latest(state, epoch=5, extra={"best_ap25": 0.37})
+        _, epoch, extra = mgr.restore(jax.device_get(state))
+        assert epoch == 5
+        assert extra == {"best_ap25": 0.37}
+        # write_extra refreshes bookkeeping without rewriting the checkpoint
+        mgr.write_extra({"best_ap25": 0.41})
+        _, _, extra2 = mgr.restore(jax.device_get(state))
+        assert extra2 == {"best_ap25": 0.41}
+
 
 class TestDataParallel:
     def test_sharded_train_step_8_devices(self):

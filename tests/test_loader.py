@@ -1,0 +1,66 @@
+"""DataLoader batching semantics: tail-batch pad-and-mask.
+
+The reference torch DataLoader keeps the final partial batch for eval /
+pseudo-label inference (dynamic shape); our loader pads it to the fixed jit
+shape and marks the pad via valid_mask, so no test scan is silently
+excluded from mAP and no pseudo-label row is written twice.
+"""
+import numpy as np
+
+from ov3det.datasets.loader import DataLoader, slice_valid, valid_count
+
+
+class _FakeDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {
+            "point_clouds": np.full((16, 3), float(i), np.float32),
+            "scan_idx": np.asarray(i, np.int64),
+        }
+
+
+class TestPadAndMask:
+    def test_drop_last_false_pads_tail_batch(self):
+        loader = DataLoader(_FakeDataset(10), batch_size=4, drop_last=False,
+                            num_workers=1)
+        batches = list(loader)
+        assert len(loader) == 3 and len(batches) == 3
+        # every batch keeps the fixed shape
+        for b in batches:
+            assert b["point_clouds"].shape == (4, 16, 3)
+            assert b["valid_mask"].shape == (4,)
+        assert valid_count(batches[0]) == 4
+        assert valid_count(batches[2]) == 2
+        # pad repeats the last real sample (tail position)
+        np.testing.assert_array_equal(batches[2]["scan_idx"], [8, 9, 9, 9])
+        # slice_valid strips exactly the pad
+        sliced = slice_valid(batches[2], valid_count(batches[2]))
+        np.testing.assert_array_equal(sliced["scan_idx"], [8, 9])
+        assert sliced["point_clouds"].shape == (2, 16, 3)
+        # all 10 scans appear exactly once across valid prefixes
+        seen = np.concatenate(
+            [slice_valid(b, valid_count(b))["scan_idx"] for b in batches]
+        )
+        np.testing.assert_array_equal(np.sort(seen), np.arange(10))
+
+    def test_drop_last_true_has_no_mask(self):
+        loader = DataLoader(_FakeDataset(10), batch_size=4, drop_last=True,
+                            num_workers=1)
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert "valid_mask" not in b
+            assert valid_count(b) == 4
+
+    def test_exact_multiple_has_full_masks(self):
+        loader = DataLoader(_FakeDataset(8), batch_size=4, drop_last=False,
+                            num_workers=1)
+        batches = list(loader)
+        assert len(batches) == 2
+        for b in batches:
+            assert valid_count(b) == 4

@@ -33,6 +33,26 @@ class TestFPS:
         for b in range(2):
             np.testing.assert_array_equal(inds[b], fps_oracle(xyz[b], 32))
 
+    def test_pallas_shard_map_matches_single_device(self):
+        """Under a data mesh the Pallas kernel runs inside shard_map
+        (batch-parallel); indices must equal the single-device XLA path
+        exactly — the kernel is exact greedy FPS, not an approximation."""
+        from ov3det.parallel import make_mesh, set_data_mesh, shard_batch
+
+        rng = np.random.default_rng(7)
+        xyz = rng.normal(size=(8, 256, 3)).astype(np.float32)
+        want = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))
+
+        mesh = make_mesh(8)
+        try:
+            sharded = shard_batch({"x": xyz}, mesh)["x"]
+            got = np.asarray(
+                furthest_point_sample(sharded, 32, use_pallas=True)
+            )
+        finally:
+            set_data_mesh(None)
+        np.testing.assert_array_equal(got, want)
+
     def test_no_duplicates_and_spread(self):
         rng = np.random.default_rng(1)
         xyz = rng.uniform(size=(1, 500, 3)).astype(np.float32)
