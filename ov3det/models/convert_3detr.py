@@ -171,8 +171,11 @@ def convert_3detr_checkpoint(
             sd, f"encoder.layers.{i}", enc_heads
         )
     if enc_kind == "masked":
+        # the interim SA module is instantiated in Model3DETR's own scope
+        # (then *called* inside the masked encoder), so its variables live
+        # at the top level, not under encoder/
         p, s = _pointnet_sa(sd, "encoder.interim_downsampling")
-        enc["interim_downsample"], stats["encoder"] = p, {"interim_downsample": s}
+        params["interim_downsample"], stats["interim_downsample"] = p, s
     params["encoder"] = enc
 
     hidden = 1 if enc_kind == "masked" else 2

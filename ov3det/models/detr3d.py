@@ -14,6 +14,16 @@ the predicted 640-d visual embedding with a FROZEN CLIP text-embedding
 matrix (reference models/model_3detr.py:151-154), stored in the separate
 "frozen" variable collection so the optimizer never touches or decays it.
 
+NOTE a genuine reference bug fixed here (capabilities, not bugs): the fork
+applies its Linear sem_cls_head to the already-(LB, Q, C)-transposed
+visual embeds but keeps the conv-era `.transpose(1, 2)`
+(reference models/model_3detr.py:240), so the flat `.reshape(L, B, Q, -1)`
+at :252 reinterprets each (nclass, Q) block as (Q, nclass) — the
+reference's sem_cls_logits / sem_cls_prob / objectness_prob are
+query-class scrambled (verified numerically in tests/test_fullmodel.py).
+ov3det computes the intended logits; the forward-parity test de-scrambles
+the reference output before comparing.
+
 All per-decoder-layer outputs are returned stacked with a leading layer
 axis instead of the reference's list-of-dicts (model_3detr.py:264-315);
 index [-1] is the final prediction, [:-1] are the aux outputs.
@@ -102,6 +112,7 @@ class Model3DETR(nn.Module):
             nsample=cfg.preenc_nsample,
             mlp_dims=tuple(cfg.preenc_mlp[:-1]) + (cfg.encoder.dim,),
             fps_shards=cfg.fps_shards,
+            ball_query_method=cfg.ball_query_method,
             dtype=dtype,
             name="pre_encoder",
         )(xyz, feats, train=train)
@@ -115,6 +126,7 @@ class Model3DETR(nn.Module):
                 nsample=cfg.interim_nsample,
                 mlp_dims=tuple(cfg.interim_mlp[:-1]) + (enc.dim,),
                 fps_shards=min(cfg.fps_shards, 4),
+                ball_query_method=cfg.ball_query_method,
                 dtype=dtype,
                 name="interim_downsample",
             )

@@ -50,7 +50,7 @@ class GenericMLP(nn.Module):
                 axis_name=self.bn_axis_name if train else None,
             )(x)
         if self.norm == "ln":
-            return nn.LayerNorm()(x)
+            return nn.LayerNorm(epsilon=1e-5)(x)
         return x
 
     @nn.compact

@@ -8,6 +8,9 @@ downsample after layer 0 (models/transformer.py:144-209).
 
 Layout is channels-last (B, N, C) throughout — the reference's
 (N, B, C) layout is a torch nn.MultiheadAttention artifact.
+LayerNorm epsilon is pinned to torch's 1e-5 (flax defaults to 1e-6):
+at the small activation scales of a converted checkpoint the epsilon gap
+is a ~0.5% systematic error that breaks forward parity.
 Attention masks are boolean with True = may attend (the reference uses the
 inverted torch convention).
 """
@@ -51,13 +54,13 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, pos=None, mask=None, train: bool = False):
         act = ACTIVATIONS[self.activation]
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         qk = _with_pos(y, pos)
         attn = _attention(self.dim, self.num_heads, self.dropout, self.dtype)(
             qk, qk, y, mask=mask, deterministic=not train
         )
         x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         y = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(act(y))
         y = nn.Dense(self.dim, kernel_init=_XAVIER, dtype=self.dtype)(y)
@@ -136,21 +139,21 @@ class TransformerDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, mem_pos=None, train: bool = False):
         act = ACTIVATIONS[self.activation]
-        y = nn.LayerNorm()(tgt)
+        y = nn.LayerNorm(epsilon=1e-5)(tgt)
         qk = _with_pos(y, query_pos)
         sa = _attention(self.dim, self.num_heads, self.dropout, self.dtype)(
             qk, qk, y, deterministic=not train
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(sa)
 
-        y = nn.LayerNorm()(tgt)
+        y = nn.LayerNorm(epsilon=1e-5)(tgt)
         ca = _attention(self.dim, self.num_heads, self.dropout, self.dtype)(
             _with_pos(y, query_pos), _with_pos(memory, mem_pos), memory,
             deterministic=not train,
         )
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ca)
 
-        y = nn.LayerNorm()(tgt)
+        y = nn.LayerNorm(epsilon=1e-5)(tgt)
         y = nn.Dense(self.ffn_dim, kernel_init=_XAVIER, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(act(y))
         y = nn.Dense(self.dim, kernel_init=_XAVIER, dtype=self.dtype)(y)
@@ -175,7 +178,7 @@ class TransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, mem_pos=None, train: bool = False):
-        final_norm = nn.LayerNorm()
+        final_norm = nn.LayerNorm(epsilon=1e-5)
         inter = []
         for _ in range(self.num_layers):
             tgt = TransformerDecoderLayer(

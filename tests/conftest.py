@@ -27,6 +27,12 @@ if REPO_ROOT not in sys.path:
 REFERENCE_ROOT = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute training/characterization tests"
+    )
+
+
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
 
@@ -66,5 +72,12 @@ def add_reference_to_path():
                 stub.PlyData = object
                 stub.PlyElement = object
                 sys.modules[name] = stub
+    # torchvision isn't installed; the reference only touches it inside
+    # image-loading helpers that parity tests never call
+    if "torchvision" not in sys.modules:
+        try:
+            __import__("torchvision")
+        except ImportError:
+            stub_module("torchvision.transforms", InterpolationMode=object)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
