@@ -13,7 +13,8 @@ checkpoint via ov3det.models.regionclip.convert_torch_checkpoint.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from functools import partial
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -23,9 +24,15 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class FrozenBatchNorm(nn.Module):
-    """Inference-only BatchNorm: y = (x - mean) / sqrt(var + eps) * scale + bias."""
+    """Inference-only BatchNorm: y = (x - mean) / sqrt(var + eps) * scale + bias.
+
+    The affine is computed in f32 from the stored stats and applied in the
+    tower's compute dtype, so a bfloat16 tower (the TPU-fast configuration)
+    folds BN into the surrounding convs without double rounding.
+    """
 
     epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -35,7 +42,12 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("mean", nn.initializers.zeros, (C,))
         var = self.param("var", nn.initializers.ones, (C,))
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        w = scale * inv
+        b = bias - mean * inv * scale
+        if self.dtype is not None:
+            w, b = w.astype(self.dtype), b.astype(self.dtype)
+            x = x.astype(self.dtype)
+        return x * w + b
 
 
 def _avg_pool(x, window, stride):
@@ -45,28 +57,31 @@ def _avg_pool(x, window, stride):
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         expansion = 4
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = FrozenBatchNorm(name="bn1")(out)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+        out = conv(self.planes, (1, 1), name="conv1")(x)
+        out = bn(name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = FrozenBatchNorm(name="bn2")(out)
+        out = conv(self.planes, (3, 3), padding=1, name="conv2")(out)
+        out = bn(name="bn2")(out)
         out = nn.relu(out)
         if self.stride > 1:  # anti-aliased: avgpool instead of strided conv
             out = _avg_pool(out, self.stride, self.stride)
-        out = nn.Conv(self.planes * expansion, (1, 1), use_bias=False, name="conv3")(out)
-        out = FrozenBatchNorm(name="bn3")(out)
+        out = conv(self.planes * expansion, (1, 1), name="conv3")(out)
+        out = bn(name="bn3")(out)
 
         identity = x
         if self.stride > 1 or x.shape[-1] != self.planes * expansion:
             identity = _avg_pool(x, self.stride, self.stride) if self.stride > 1 else x
-            identity = nn.Conv(
-                self.planes * expansion, (1, 1), use_bias=False, name="downsample_conv"
+            identity = conv(
+                self.planes * expansion, (1, 1), name="downsample_conv"
             )(identity)
-            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+            identity = bn(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -75,11 +90,13 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     spacial_dim: int
     output_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, C) -> (B, output_dim)."""
         B, H, W, C = x.shape
+        x = x.astype(jnp.float32)  # pool/softmax head stays f32
         tokens = x.reshape(B, H * W, C)
         mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
         tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, 1+HW, C)
@@ -113,16 +130,19 @@ class AttentionPool2d(nn.Module):
 
 class ModifiedResNetStem(nn.Module):
     width: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         w = self.width
-        x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(name="bn1")(x))
-        x = nn.Conv(w // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x)
-        x = nn.relu(FrozenBatchNorm(name="bn2")(x))
-        x = nn.Conv(w, (3, 3), padding=1, use_bias=False, name="conv3")(x)
-        x = nn.relu(FrozenBatchNorm(name="bn3")(x))
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+        x = conv(w // 2, (3, 3), strides=2, padding=1, name="conv1")(x)
+        x = nn.relu(bn(name="bn1")(x))
+        x = conv(w // 2, (3, 3), padding=1, name="conv2")(x)
+        x = nn.relu(bn(name="bn2")(x))
+        x = conv(w, (3, 3), padding=1, name="conv3")(x)
+        x = nn.relu(bn(name="bn3")(x))
         return _avg_pool(x, 2, 2)
 
 
@@ -130,12 +150,13 @@ class ResNetStage(nn.Module):
     planes: int
     blocks: int
     stride: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = Bottleneck(self.planes, self.stride, name="block0")(x)
+        x = Bottleneck(self.planes, self.stride, self.dtype, name="block0")(x)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, name=f"block{i}")(x)
+            x = Bottleneck(self.planes, 1, self.dtype, name=f"block{i}")(x)
         return x
 
 
@@ -144,14 +165,15 @@ class CLIPResNetBackbone(nn.Module):
 
     width: int = 80  # RN50x4
     layers: Sequence[int] = (4, 6, 10, 6)
+    dtype: Optional[jnp.dtype] = None  # bfloat16 = TPU-fast frozen teacher
 
     @nn.compact
     def __call__(self, x):
         w = self.width
-        x = ModifiedResNetStem(w, name="stem")(x)
-        x = ResNetStage(w, self.layers[0], 1, name="layer1")(x)
-        x = ResNetStage(w * 2, self.layers[1], 2, name="layer2")(x)
-        x = ResNetStage(w * 4, self.layers[2], 2, name="layer3")(x)
+        x = ModifiedResNetStem(w, self.dtype, name="stem")(x)
+        x = ResNetStage(w, self.layers[0], 1, self.dtype, name="layer1")(x)
+        x = ResNetStage(w * 2, self.layers[1], 2, self.dtype, name="layer2")(x)
+        x = ResNetStage(w * 4, self.layers[2], 2, self.dtype, name="layer3")(x)
         return x  # (B, H/16, W/16, width*16)
 
 
@@ -162,11 +184,12 @@ class CLIPResNetRes5Head(nn.Module):
     blocks: int = 6
     embed_dim: int = 640
     image_resolution: int = 288
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         """x: (R, P, P, width*16) pooled RoI features -> (R, embed_dim)."""
-        x = ResNetStage(self.width * 8, self.blocks, 2, name="layer4")(x)
+        x = ResNetStage(self.width * 8, self.blocks, 2, self.dtype, name="layer4")(x)
         heads = self.width * 32 // 64
         return AttentionPool2d(
             embed_dim=self.width * 32,

@@ -41,6 +41,10 @@ class RegionCLIPTeacher(nn.Module):
     pooler_resolution: int = 18
     pooler_scale: float = 1.0 / 16.0
     image_resolution: int = 288
+    # compute dtype for the conv trunk; "bfloat16" is the TPU-fast frozen-
+    # teacher configuration (MXU convs, halved HBM traffic); the attnpool
+    # softmax head always runs f32. None = float32 (parity-test setting).
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -48,8 +52,9 @@ class RegionCLIPTeacher(nn.Module):
         boxes: (B, Q, 4) [x1, y1, x2, y2] pixels.
         Returns (B, Q, embed_dim) region features."""
         B, Q = boxes.shape[:2]
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         x = (images - _PIXEL_MEAN) / _PIXEL_STD
-        feat = CLIPResNetBackbone(self.width, self.layers, name="backbone")(x)
+        feat = CLIPResNetBackbone(self.width, self.layers, dtype, name="backbone")(x)
         flat_boxes = boxes.reshape(B * Q, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Q)
         pooled = roi_align(
@@ -64,6 +69,7 @@ class RegionCLIPTeacher(nn.Module):
             self.layers[3],
             self.embed_dim,
             self.image_resolution,
+            dtype,
             name="roi_head",
         )(pooled)
         return emb.reshape(B, Q, self.embed_dim)

@@ -1,0 +1,190 @@
+"""RegionCLIP teacher tower golden verification vs a torch oracle.
+
+The reference's region features come from detectron2's CLIPFastRCNN
+(reference models/model_regionclip.py:15-22): ModifiedResNet RN-x4 visual
+tower, RoIAlign(aligned=True) on res4, res5 + AttentionPool2d head.  Here a
+live torch ModifiedResNet (tests/ref_oracle.py, public-CLIP architecture
+and checkpoint key layout) with random weights is saved, converted through
+convert_torch_checkpoint, and every stage — backbone, RoIAlign, RoI head,
+and the end-to-end teacher — is matched numerically.
+
+A scaled-down tower (width 16, one block per stage) keeps the CPU runtime
+small; the converter code paths are identical to RN50x4.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.ref_oracle import CLIPModifiedResNet, roi_align_oracle
+
+from ov3det.models.clip_resnet import CLIPResNetBackbone, CLIPResNetRes5Head
+from ov3det.models.regionclip import (
+    _PIXEL_MEAN,
+    _PIXEL_STD,
+    RegionCLIPTeacher,
+    convert_torch_checkpoint,
+)
+from ov3det.ops.roi_align import roi_align
+
+WIDTH = 16
+LAYERS = (1, 1, 1, 1)
+EMBED = 32
+POOLER = 6  # -> 3x3 after the stride-2 res5, matching image_resolution 96
+IMAGE_RES = 96
+
+
+@pytest.fixture(scope="module")
+def tower(tmp_path_factory):
+    torch.manual_seed(5)
+    net = CLIPModifiedResNet(
+        layers=LAYERS, output_dim=EMBED, width=WIDTH, image_resolution=IMAGE_RES
+    )
+    # move BN running stats off init so the converted stats matter
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.6, 1.6)
+    net.eval()
+    path = tmp_path_factory.mktemp("ckpt") / "regionclip_tiny.pth"
+    sd = {f"backbone.visual.{k}": v for k, v in net.state_dict().items()}
+    torch.save({"model": sd}, path)
+    variables = convert_torch_checkpoint(str(path), layers=LAYERS)
+    return net, variables
+
+
+class TestBackboneParity:
+    def test_res4_features_match(self, tower):
+        net, variables = tower
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 64, 96, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = net.forward_res4(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        got = CLIPResNetBackbone(WIDTH, LAYERS).apply(
+            {"params": variables["params"]["backbone"]}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy().transpose(0, 2, 3, 1), atol=1e-4
+        )
+
+
+class TestRoIAlignParity:
+    def test_matches_torchvision_spec_oracle(self):
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(2, 8, 10, 5)).astype(np.float32)
+        # boxes in input-image pixels at scale 1/4 -> feature coords in range
+        boxes = np.array(
+            [
+                [2.0, 3.0, 30.0, 25.0],
+                [0.0, 0.0, 40.0, 32.0],  # full image
+                [11.3, 7.7, 19.2, 28.4],  # fractional
+                [5.0, 5.0, 6.5, 6.5],  # tiny box
+            ],
+            np.float32,
+        )
+        batch_idx = np.array([0, 1, 0, 1], np.int32)
+        got = roi_align(
+            jnp.asarray(feats), jnp.asarray(boxes), jnp.asarray(batch_idx),
+            spatial_scale=0.25, output_size=4,
+        )
+        want = roi_align_oracle(feats, boxes, batch_idx, 0.25, 4)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestRoIHeadParity:
+    def test_res5_attnpool_match(self, tower):
+        net, variables = tower
+        rng = np.random.default_rng(2)
+        pooled = rng.normal(size=(3, POOLER, POOLER, WIDTH * 16)).astype(np.float32)
+        with torch.no_grad():
+            want = net.forward_res5(torch.from_numpy(pooled.transpose(0, 3, 1, 2)))
+        got = CLIPResNetRes5Head(WIDTH, LAYERS[3], EMBED, IMAGE_RES).apply(
+            {"params": variables["params"]["roi_head"]}, jnp.asarray(pooled)
+        )
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+class TestTeacherEndToEnd:
+    def test_region_features_match_torch_pipeline(self, tower):
+        net, variables = tower
+        rng = np.random.default_rng(3)
+        B, Q = 2, 5
+        images = rng.uniform(0, 255, size=(B, 64, 96, 3)).astype(np.float32)
+        x1 = rng.uniform(0, 60, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 40, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(4, 30, (B, Q)), y1 + rng.uniform(4, 20, (B, Q))],
+            axis=-1,
+        ).astype(np.float32)
+
+        teacher = RegionCLIPTeacher(
+            width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+            pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+            image_resolution=IMAGE_RES,
+        )
+        got = teacher.apply(variables, jnp.asarray(images), jnp.asarray(boxes))
+
+        norm = (images - _PIXEL_MEAN) / _PIXEL_STD
+        with torch.no_grad():
+            res4 = net.forward_res4(torch.from_numpy(norm.transpose(0, 3, 1, 2)))
+        pooled = roi_align_oracle(
+            res4.numpy().transpose(0, 2, 3, 1),
+            boxes.reshape(B * Q, 4),
+            np.repeat(np.arange(B), Q),
+            1.0 / 16.0,
+            POOLER,
+        )
+        with torch.no_grad():
+            want = net.forward_res5(torch.from_numpy(pooled.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(B * Q, EMBED), want.numpy(), atol=3e-4
+        )
+
+    def test_pad_content_invariance_for_interior_boxes(self, tower):
+        """The SUN RGB-D loader ships images on a zero-padded fixed canvas
+        (datasets/sunrgbd.py); region features of boxes farther from the
+        canvas pad than the res4 receptive field must not depend on what the
+        pad contains."""
+        net, variables = tower
+        del net
+        rng = np.random.default_rng(4)
+        true_h, true_w, H, W = 160, 192, 224, 256
+        img = rng.uniform(0, 255, size=(1, true_h, true_w, 3)).astype(np.float32)
+        zero_canvas = np.zeros((1, H, W, 3), np.float32)
+        zero_canvas[:, :true_h, :true_w] = img
+        junk_canvas = rng.uniform(0, 255, size=(1, H, W, 3)).astype(np.float32)
+        junk_canvas[:, :true_h, :true_w] = img
+        boxes = np.array([[[8.0, 8.0, 96.0, 100.0]]], np.float32)  # >=60px margin
+
+        teacher = RegionCLIPTeacher(
+            width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+            pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+            image_resolution=IMAGE_RES,
+        )
+        f_zero = teacher.apply(variables, jnp.asarray(zero_canvas), jnp.asarray(boxes))
+        f_junk = teacher.apply(variables, jnp.asarray(junk_canvas), jnp.asarray(boxes))
+        np.testing.assert_allclose(np.asarray(f_zero), np.asarray(f_junk), atol=1e-5)
+
+
+class TestBfloat16Teacher:
+    def test_bf16_trunk_tracks_f32(self, tower):
+        """compute_dtype="bfloat16" (the TPU-fast frozen-teacher config) must
+        stay directionally faithful to f32 — the distillation loss is a
+        cosine alignment, so cosine similarity is the right metric."""
+        _, variables = tower
+        rng = np.random.default_rng(6)
+        images = rng.uniform(0, 255, size=(1, 64, 96, 3)).astype(np.float32)
+        boxes = np.array([[[4.0, 4.0, 60.0, 40.0], [10.0, 8.0, 30.0, 30.0]]], np.float32)
+        kw = dict(width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+                  pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+                  image_resolution=IMAGE_RES)
+        f32 = RegionCLIPTeacher(**kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes))
+        bf16 = RegionCLIPTeacher(compute_dtype="bfloat16", **kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes))
+        a = np.asarray(f32).reshape(2, -1)
+        b = np.asarray(bf16).reshape(2, -1).astype(np.float32)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-8)
+        assert (cos > 0.99).all(), cos
