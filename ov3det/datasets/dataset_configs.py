@@ -48,11 +48,11 @@ class BaseDatasetConfig:
         return corners_from_upright_depth_param(center, size, angle)
 
     def box_parametrization_to_corners_np(self, center, size, angle):
-        return np.asarray(
-            corners_from_upright_depth_param(
-                jnp.asarray(center), jnp.asarray(size), jnp.asarray(angle)
-            )
-        )
+        # pure numpy: runs in loader worker threads (no per-sample jnp
+        # dispatch round-tripping through the accelerator)
+        from ov3det.geometry.boxes_np import corners_from_upright_depth_param_np
+
+        return corners_from_upright_depth_param_np(center, size, angle)
 
     def my_compute_box_3d(self, center, size, heading_angle):
         """Raw GT corners in depth coords, half-size parametrization

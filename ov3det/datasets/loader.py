@@ -5,12 +5,20 @@ Replaces the reference's torch DataLoader with 4 worker processes
 light; a thread pool + one-batch device prefetch keeps the accelerator fed
 without process-spawn complexity, and batches are device_put with the data
 mesh sharding so the training step never sees host arrays.
+
+Multi-host (DCN) data parallelism: when jax.process_count() > 1 every host
+derives the SAME global index order (seeded shuffle, reference
+DistributedSampler semantics at main.py:445-446), fetches only its local
+slice of each global batch, and assembles the global jax.Array via
+jax.make_array_from_process_local_data — the jitted step then sees
+global-batch-shaped arrays whose shards live host-locally.
 """
 from __future__ import annotations
 
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -19,6 +27,22 @@ import jax
 
 def collate(samples: list[dict]) -> dict:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+# --- process-worker plumbing (reference torch DataLoader num_workers=4
+# semantics, main.py:452-458).  The dataset is pickled ONCE into each
+# spawned worker via the initializer; workers run pure-numpy __getitem__
+# (no jax backend is ever initialized there).
+_WORKER_DATASET = None
+
+
+def _worker_init(ds_bytes: bytes):
+    global _WORKER_DATASET
+    _WORKER_DATASET = pickle.loads(ds_bytes)
+
+
+def _worker_get(idx):
+    return _WORKER_DATASET[int(idx)]
 
 
 def valid_count(batch: dict) -> int:
@@ -46,7 +70,16 @@ class DataLoader:
         seed: int = 0,
         sharding=None,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        global_assembly: bool = False,
+        worker_type: str = "thread",
     ):
+        """batch_size is the GLOBAL batch; under multi-host each process
+        fetches batch_size / process_count samples per step.  Without a
+        sharding, multi-process loaders yield process-LOCAL host batches.
+        global_assembly forces the make_array_from_process_local_data path
+        even single-process (exercised by tests)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,7 +88,41 @@ class DataLoader:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        self.global_assembly = global_assembly
+        # "process": spawned worker processes run __getitem__ — numpy-heavy
+        # augmentation scales past the GIL (the reference's 4-process torch
+        # DataLoader); "thread": in-process pool, fine for IO-light datasets
+        assert worker_type in ("thread", "process"), worker_type
+        self.worker_type = worker_type
+        self._pool = None
+        assert batch_size % self.process_count == 0, (batch_size, self.process_count)
         self._epoch = 0
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            if self.worker_type == "process":
+                import multiprocessing as mp
+
+                self._pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_worker_init,
+                    initargs=(pickle.dumps(self.dataset),),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -88,20 +155,36 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        pi, pc = self.process_index, self.process_count
+        local_b = self.batch_size // pc
+        assemble = self.sharding is not None and (pc > 1 or self.global_assembly)
+
+        def place(x):
+            if assemble:
+                # x is this process's local slice; every process contributes
+                # its shard of the global jax.Array (multi-host path)
+                return jax.make_array_from_process_local_data(self.sharding, x)
+            return jax.device_put(x, self.sharding)
+
+        pool = self._ensure_pool()
+        fetch = (
+            _worker_get if self.worker_type == "process" else self.dataset.__getitem__
+        )
+
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs, n_valid in self._index_batches():
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    batch = collate(samples)
-                    if not self.drop_last:
-                        batch["valid_mask"] = (
-                            np.arange(self.batch_size) < n_valid
-                        ).astype(np.float32)
-                    if self.sharding is not None:
-                        batch = jax.tree_util.tree_map(
-                            lambda x: jax.device_put(x, self.sharding), batch
-                        )
-                    out_q.put(batch)
+            for idxs, n_valid in self._index_batches():
+                local = idxs[pi * local_b : (pi + 1) * local_b]
+                samples = list(pool.map(fetch, local))
+                batch = collate(samples)
+                if not self.drop_last:
+                    # mask over GLOBAL batch positions; keep the local rows
+                    mask = (np.arange(self.batch_size) < n_valid).astype(
+                        np.float32
+                    )
+                    batch["valid_mask"] = mask[pi * local_b : (pi + 1) * local_b]
+                if self.sharding is not None:
+                    batch = jax.tree_util.tree_map(place, batch)
+                out_q.put(batch)
             out_q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)

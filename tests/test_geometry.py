@@ -243,3 +243,22 @@ class TestNMS:
         ref_pick = ref_nms_2d(np.concatenate([boxes, scores[:, None]], 1), 0.3)
         keep = np.asarray(nms_2d(jnp.asarray(boxes), jnp.asarray(scores), 0.3))
         assert set(np.where(keep)[0]) == set(ref_pick)
+
+
+class TestNumpyCorners:
+    def test_np_codec_matches_jnp(self):
+        """Host-side loader codec (geometry/boxes_np.py) == device codec."""
+        import jax.numpy as jnp
+
+        from ov3det.geometry import corners_from_upright_depth_param
+        from ov3det.geometry.boxes_np import corners_from_upright_depth_param_np
+
+        rng = np.random.default_rng(0)
+        c = rng.normal(size=(5, 7, 3)).astype(np.float32)
+        s = rng.uniform(0.2, 2, size=(5, 7, 3)).astype(np.float32)
+        a = rng.uniform(-np.pi, np.pi, size=(5, 7)).astype(np.float32)
+        want = np.asarray(
+            corners_from_upright_depth_param(jnp.asarray(c), jnp.asarray(s), jnp.asarray(a))
+        )
+        got = corners_from_upright_depth_param_np(c, s, a)
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -64,3 +64,46 @@ class TestPadAndMask:
         assert len(batches) == 2
         for b in batches:
             assert valid_count(b) == 4
+
+
+class TestMultiHostLoading:
+    """Multi-host data-parallel loading (reference DistributedSampler
+    semantics, main.py:445-446): every process derives the same global
+    order, fetches only its slice, and the global batch is assembled via
+    jax.make_array_from_process_local_data."""
+
+    def test_process_slices_partition_the_global_batch(self):
+        from ov3det.datasets import SyntheticDataset
+        from ov3det.datasets.loader import DataLoader
+
+        ds = SyntheticDataset(size=16, num_points=64)
+        full = DataLoader(ds, batch_size=4, shuffle=True, seed=7, num_workers=2,
+                          process_index=0, process_count=1)
+        p0 = DataLoader(ds, batch_size=4, shuffle=True, seed=7, num_workers=2,
+                        process_index=0, process_count=2)
+        p1 = DataLoader(ds, batch_size=4, shuffle=True, seed=7, num_workers=2,
+                        process_index=1, process_count=2)
+        for b_full, b0, b1 in zip(full, p0, p1):
+            merged = np.concatenate([b0["scan_idx"], b1["scan_idx"]])
+            np.testing.assert_array_equal(merged, np.asarray(b_full["scan_idx"]))
+            assert b0["point_clouds"].shape[0] == 2
+
+    def test_global_assembly_matches_device_put(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ov3det.datasets import SyntheticDataset
+        from ov3det.datasets.loader import DataLoader
+        from ov3det.parallel import make_mesh
+
+        mesh = make_mesh()
+        sharding = NamedSharding(mesh, P("data"))
+        ds = SyntheticDataset(size=8, num_points=64)
+        kw = dict(batch_size=8, shuffle=False, num_workers=2, sharding=sharding)
+        assembled = next(iter(DataLoader(ds, global_assembly=True, **kw)))
+        put = next(iter(DataLoader(ds, **kw)))
+        for k in put:
+            assert assembled[k].sharding.is_equivalent_to(put[k].sharding,
+                                                          put[k].ndim)
+            np.testing.assert_array_equal(np.asarray(assembled[k]),
+                                          np.asarray(put[k]))
