@@ -69,6 +69,10 @@ class ModelConfig:
     # selection latency ~Sx with near-identical coverage, see ops.pointcloud)
     fps_shards: int = 4
     query_fps_shards: int = 4
+    # neighborhood selection in the SA modules: "bucketed" (TPU-fast,
+    # statistically equivalent under random point order) or "first_k"
+    # (exact CUDA-kernel parity — used for checkpoint-parity evaluation)
+    ball_query_method: str = "bucketed"
 
 
 @dataclass(frozen=True)
@@ -98,21 +102,22 @@ class LossConfig:
     # reference re-runs RegionCLIP for each of the 8 decoder layers,
     # criterion.py:434-442 — the dominant cost it flags itself)
     teacher_per_layer: bool = False
-    # GIoU compute dtype ("bfloat16" halves the polygon-clip bandwidth;
-    # ~0.4% relative area error, no effect on training quality)
-    giou_compute_dtype: str = "bfloat16"
+    # GIoU compute dtype ("bfloat16" halves the polygon-clip bandwidth at
+    # ~0.4% relative area error; default is the reference-parity f32 —
+    # opt into bf16 via --giou_compute_dtype in throughput-first runs)
+    giou_compute_dtype: str = "float32"
     # GIoU flavor for the MATCHER COST matrix on rotated-box datasets:
     # "rotated" = exact polygon-clip over all (layer, query, gt) pairs —
     # reference parity (criterion.py:348-356) and the golden-test setting;
-    # "axis_aligned" = enclosing-AABB GIoU for the cost (the BASELINE.md
-    # north-star design: the cost also carries 5x center + 5x objectness
-    # terms, so the cheap approximation rarely flips an assignment) while
-    # the GIoU *loss*, when active, is still the exact rotated value,
-    # computed only on the Q matched pairs per layer instead of all QxG.
-    # On axis-aligned datasets (ScanNet) the two are identical.
-    # Default matches the CLI and COMPONENTS.md; golden parity tests pin
-    # "rotated" explicitly.
-    matcher_giou: str = "axis_aligned"
+    # "axis_aligned" = enclosing-AABB GIoU for the cost only (the GIoU
+    # *loss*, when active, stays exact rotated on the matched pairs).
+    # On axis-aligned datasets (ScanNet) the two are identical.  Default is
+    # the parity setting: a 2-seed synthetic probe (tests/
+    # test_matcher_default.py scenario, 300 steps) reached AP25 0.123-0.126
+    # with "rotated" vs 0.091-0.099 with "axis_aligned", so the cheap cost
+    # is NOT quality-neutral on rotated datasets — treat it as an opt-in
+    # speed knob, not the default.
+    matcher_giou: str = "rotated"
 
 
 @dataclass(frozen=True)
@@ -175,6 +180,13 @@ class TrainConfig:
     save_separate_checkpoint_every_epoch: int = 100
     # parallelism: data-parallel mesh size (1 = single chip)
     num_devices: int = 1
+    # observability (SURVEY §5.1/5.2): jax.profiler trace of the first
+    # profile_steps training iterations, written under profile_dir; and the
+    # jax_debug_nans opt-in (the reference's always-on
+    # torch.autograd.set_detect_anomaly equivalent, main.py:499)
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
+    debug_nans: bool = False
 
 
 def replace(cfg, **kw):
@@ -204,7 +216,6 @@ def sunrgbd_quick() -> TrainConfig:
                 cost_class=1.0, cost_objectness=5.0, cost_center=5.0, cost_giou=3.0
             ),
             giou_weight=0.0,
-            matcher_giou="axis_aligned",
         ),
         data=DataConfig(dataset_name="sunrgbd", num_points=20000),
         max_epoch=90,

@@ -84,10 +84,12 @@ def make_args_parser():
     p.add_argument("--matcher_center_cost", default=0, type=float)
     p.add_argument("--matcher_objectness_cost", default=0, type=float)
     p.add_argument("--loss_giou_weight", default=0, type=float)
-    p.add_argument("--matcher_giou", default="axis_aligned",
+    p.add_argument("--matcher_giou", default="rotated",
                    choices=["rotated", "axis_aligned"],
                    help="GIoU flavor for the matcher COST matrix on rotated-"
-                   "box datasets; the GIoU loss stays exact either way")
+                   "box datasets; the GIoU loss stays exact either way. "
+                   "axis_aligned is a speed knob that costs measurable AP "
+                   "on rotated datasets (see config.py LossConfig)")
     p.add_argument("--loss_sem_cls_weight", default=1, type=float)
     p.add_argument("--loss_no_object_weight", default=0.2, type=float)
     p.add_argument("--loss_angle_cls_weight", default=0.1, type=float)
@@ -108,7 +110,10 @@ def make_args_parser():
     p.add_argument("--region_clip_ckpt_path", type=str, default=None)
     p.add_argument("--feature_2d_dir", type=str, default=None)
     p.add_argument("--use_pbox", default=False, action="store_true")
-    p.add_argument("--use_2d_feature", default=False, action="store_true")
+    p.add_argument("--use_2d_feature", default=False, action="store_true",
+                   help="load per-point 2D features with the scenes; NOTE: "
+                   "no training path consumes them (faithful to the "
+                   "reference, which also loads and drops them)")
     p.add_argument("--use_image", default=False, action="store_true")
     # Training (reference main.py:178-196)
     p.add_argument("--start_epoch", default=-1, type=int)
@@ -122,6 +127,19 @@ def make_args_parser():
     p.add_argument("--log_metrics_every", default=20, type=int)
     p.add_argument("--save_separate_checkpoint_every_epoch", default=100, type=int)
     p.add_argument("--ngpus", default=1, type=int, help="data-parallel devices")
+    # Observability (SURVEY §5.1/5.2)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="write a jax.profiler trace of the first "
+                   "--profile_steps train iterations here (TensorBoard/xprof)")
+    p.add_argument("--profile_steps", default=5, type=int)
+    p.add_argument("--debug_nans", default=False, action="store_true",
+                   help="enable jax_debug_nans (per-op NaN tracebacks; the "
+                   "reference's anomaly-mode equivalent, slows every step)")
+    # Multi-host (one python process per host; reference main.py:405-411
+    # spawns one process per GPU with NCCL instead)
+    p.add_argument("--coordinator_address", default=None, type=str)
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     return p
 
 
@@ -210,6 +228,9 @@ def config_from_args(args) -> TrainConfig:
         log_metrics_every=args.log_metrics_every,
         save_separate_checkpoint_every_epoch=args.save_separate_checkpoint_every_epoch,
         num_devices=args.ngpus,
+        profile_dir=args.profile_dir,
+        profile_steps=args.profile_steps,
+        debug_nans=args.debug_nans,
     )
 
 
@@ -360,9 +381,17 @@ def do_train(cfg: TrainConfig, args=None):
                 return state
             t0 = time.time()
             curr_iter = epoch * iters_per_epoch + it
+            global_it = curr_iter - start_epoch * iters_per_epoch
+            if cfg.profile_dir and global_it == 1:  # skip the compile step
+                os.makedirs(cfg.profile_dir, exist_ok=True)
+                jax.profiler.start_trace(cfg.profile_dir)
             state, metrics = train_step(
                 state, batch, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), curr_iter)
             )
+            if cfg.profile_dir and global_it == 1 + cfg.profile_steps:
+                jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {cfg.profile_dir}")
             if curr_iter % cfg.log_metrics_every == 0:
                 outputs = eval_step(state, batch)
                 train_ap.step_meter(outputs, batch)
@@ -476,6 +505,15 @@ def main(argv=None):
     args = make_args_parser().parse_args(argv)
     cfg = config_from_args(args)
     np.random.seed(cfg.seed)
+    if cfg.debug_nans:
+        # per-op NaN tracebacks (SURVEY §5.2: the opt-in equivalent of the
+        # reference's always-on torch.autograd.set_detect_anomaly)
+        jax.config.update("jax_debug_nans", True)
+    if args.coordinator_address or args.num_processes:
+        from ov3det.engine.runtime import init_multihost
+
+        init_multihost(args.coordinator_address, args.num_processes,
+                       args.process_id)
     if args.test_only:
         test_model(cfg, test_ckpt=args.test_ckpt)
     else:

@@ -75,3 +75,37 @@ def test_run_scripts_use_valid_flags():
     for fn in scripts:
         for flag in re.findall(r"--[a-z0-9_]+", open(fn).read()):
             assert flag in known, (fn, flag)
+
+
+@pytest.mark.slow
+def test_profile_and_debug_nans_flags(tmp_path):
+    """--profile_dir writes a jax.profiler trace around the first steps;
+    --debug_nans toggles the jax config (SURVEY §5.1/5.2)."""
+    import glob
+
+    import jax
+
+    from ov3det.main import main as cli_main
+
+    prof = tmp_path / "prof"
+    argv = [
+        "--dataset_name", "synthetic",
+        "--checkpoint_dir", str(tmp_path / "run"),
+        "--max_epoch", "1",
+        "--eval_every_epoch", "5",
+        "--batchsize_per_gpu", "4",
+        "--num_points", "256",
+        "--preenc_npoints", "64",
+        "--enc_nlayers", "1", "--enc_dim", "32", "--enc_ffn_dim", "32",
+        "--dec_nlayers", "1", "--dec_dim", "32", "--dec_ffn_dim", "32",
+        "--nqueries", "16", "--mlp_dropout", "0.0",
+        "--profile_dir", str(prof), "--profile_steps", "2",
+        "--debug_nans",
+    ]
+    try:
+        cli_main(argv)
+        assert jax.config.jax_debug_nans
+        traces = glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+        assert traces, f"no profiler trace under {prof}"
+    finally:
+        jax.config.update("jax_debug_nans", False)
