@@ -231,3 +231,57 @@ class TestPallasFPS:
         ref = np.asarray(furthest_point_sample(xyz, 64))
         got = np.asarray(furthest_point_sample_pallas(xyz, 64, interpret=True))
         np.testing.assert_array_equal(got, ref)
+
+
+class TestAuctionAdversarial:
+    """Property test for the documented eps-optimality bound on the
+    pathological near-duplicate-GT case (the eps price-war regime the
+    ops/hungarian.py docstring warns about): total assigned cost must stay
+    within P * eps_loose of scipy's optimum, where eps_loose =
+    5e-3 * benefit span (the loose-phase epsilon)."""
+
+    def _bound_check(self, cost, n_persons):
+        p2o, obj_assigned, _ = jax.jit(auction_lap)(
+            jnp.asarray(cost), jnp.asarray(n_persons)
+        )
+        p2o = np.asarray(p2o)
+        B = cost.shape[0]
+        for b in range(B):
+            n = int(n_persons[b])
+            span = float(cost[b, :n].max() - cost[b, :n].min())
+            eps_bound = n * 5e-3 * max(span, 1e-3)
+            rows, cols = linear_sum_assignment(cost[b, :n])
+            ref = cost[b, rows, cols].sum()
+            objs = p2o[b, :n]
+            assert len(set(objs.tolist())) == n, "must stay injective"
+            ours = cost[b, np.arange(n), objs].sum()
+            assert ours <= ref + eps_bound + 1e-4, (b, ours, ref, eps_bound)
+
+    def test_near_duplicate_clusters(self):
+        # clusters of nearly identical GT rows at detection-cost scale
+        for seed in range(6):
+            rng = np.random.default_rng(100 + seed)
+            B, P, O = 4, 16, 64
+            n_clusters = rng.integers(1, 5)
+            protos = rng.uniform(0, 30, size=(B, n_clusters, O))
+            assign = rng.integers(0, n_clusters, size=P)
+            cost = protos[:, assign, :] + rng.normal(size=(B, P, O)) * 1e-5
+            cost = cost.astype(np.float32)
+            n_persons = np.array([P, P - 3, 2, P], np.int32)
+            self._bound_check(cost, n_persons)
+
+    def test_duplicate_block_plus_decoys(self):
+        # all-identical rows except one strictly better column per person:
+        # the optimum is unique and the auction must find it despite the ties
+        rng = np.random.default_rng(200)
+        B, P, O = 2, 12, 48
+        base = np.tile(rng.uniform(5, 10, size=(B, 1, O)), (1, P, 1))
+        cost = base.astype(np.float32)
+        for b in range(B):
+            cols = rng.choice(O, size=P, replace=False)
+            cost[b, np.arange(P), cols] = 0.0  # unique cheap column each
+        n_persons = np.full((B,), P, np.int32)
+        p2o, _, _ = auction_lap(jnp.asarray(cost), jnp.asarray(n_persons))
+        p2o = np.asarray(p2o)
+        for b in range(B):
+            assert (cost[b, np.arange(P), p2o[b]] == 0.0).all()

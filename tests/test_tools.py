@@ -445,3 +445,114 @@ class TestVisualize:
         bx = (tmp_path / "scene_boxes.ply").read_text().splitlines()
         assert "element vertex 8" in bx and "element edge 12" in bx
         assert bx[-1] == "3 7"  # last edge of the canonical box wiring
+
+
+class TestLiftScannet:
+    """Scene-level e2e of the ScanNet frustum-lifting pipeline
+    (reference 3DOVDet_tools/scannet/lift_boxes.py:53-188): planted labeled
+    clusters -> frustum + label mask -> AABB -> class NMS -> (GSS snap)."""
+
+    F, CX, CY = 400.0, 320.0, 240.0  # 640x480 intrinsics; halved to 320x240
+
+    def _make_scene(self, tmp_path, gss_boxes=None):
+        from PIL import Image
+
+        scan = "scene0000_00"
+        frames = tmp_path / "frames" / scan
+        for sub in ("color", "depth", "pose"):
+            (frames / sub).mkdir(parents=True)
+        np.savetxt(
+            tmp_path / "frames" / scan / "intrinsic_depth.txt",
+            np.array([[self.F, 0, self.CX, 0], [0, self.F, self.CY, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]]),
+        )
+        rng = np.random.default_rng(0)
+        # object A: label 5 cluster at z~2 on the optical axis
+        a = rng.uniform([-0.2, -0.2, 1.9], [0.2, 0.2, 2.1], (200, 3))
+        # object B: label 7 cluster offset in x (still in view)
+        b = rng.uniform([0.7, -0.15, 2.4], [1.0, 0.15, 2.6], (150, 3))
+        # decoys: label 5 far off-axis (outside any frustum), label 3 inside
+        # object A's frustum (wrong label)
+        decoy_far = rng.uniform([5.0, 5.0, 2.0], [5.5, 5.5, 2.5], (50, 3))
+        decoy_lbl = rng.uniform([-0.1, -0.1, 1.95], [0.1, 0.1, 2.05], (50, 3))
+        pts = np.concatenate([a, b, decoy_far, decoy_lbl])
+        labels = np.concatenate(
+            [np.full(200, 5.0), np.full(150, 7.0), np.full(50, 5.0),
+             np.full(50, 3.0)]
+        )
+        det = tmp_path / "det"
+        det.mkdir()
+        np.save(det / f"{scan}_vert.npy", pts.astype(np.float32))
+        # pseudo-label layout: (N, 4) xyz + class id
+        np.save(tmp_path / f"{scan}_sem.npy",
+                np.concatenate([pts, labels[:, None]], 1))
+
+        def box2d(cluster):
+            # project the cluster through the RESIZED intrinsics (f/2)
+            u = cluster[:, 0] * (self.F / 2) / cluster[:, 2] + self.CX / 2
+            v = cluster[:, 1] * (self.F / 2) / cluster[:, 2] + self.CY / 2
+            x, y = np.floor(u.min()) - 3, np.floor(v.min()) - 3
+            w = np.ceil(u.max()) - x + 3
+            h = np.ceil(v.max()) - y + 3
+            return [x, y, w, h]
+
+        b2d = tmp_path / "boxes2d" / scan / "color"
+        b2d.mkdir(parents=True)
+        # frame 0: both objects, high scores; frame 1: same view, lower
+        # scores -> per-class NMS must dedupe to the frame-0 boxes
+        np.save(b2d / "0.npy",
+                np.array([box2d(a) + [0.9, 5], box2d(b) + [0.8, 7]]))
+        np.save(b2d / "1.npy",
+                np.array([box2d(a) + [0.6, 5], box2d(b) + [0.5, 7]]))
+        for fid in (0, 1):
+            (frames / "color" / f"{fid}.jpg").touch()
+            Image.fromarray(
+                np.full((240, 320), 2000, np.int32), mode="I"
+            ).save(frames / "depth" / f"{fid}.png")
+            np.savetxt(frames / "pose" / f"{fid}.txt", np.eye(4))
+        if gss_boxes is not None:
+            np.save(tmp_path / f"{scan}_gss.npy", gss_boxes)
+        return scan, a, b
+
+    def _lift(self, tmp_path, scan, use_gss=False):
+        from ov3det.tools.lift_boxes import LiftConfig, lift_scene_scannet
+
+        return lift_scene_scannet(
+            scan,
+            detection_data_dir=str(tmp_path / "det") + "/",
+            frames_dir=str(tmp_path / "frames"),
+            label_path_fmt=str(tmp_path / "{}_sem.npy"),
+            boxes2d_dir=str(tmp_path / "boxes2d"),
+            out_dir=str(tmp_path / "out"),
+            gss_path_fmt=str(tmp_path / "{}_gss.npy") if use_gss else None,
+            cfg=LiftConfig(use_gss=use_gss, image_dims=(240, 320)),
+            pseudo_labels=True,
+        )
+
+    def test_lifted_boxes_match_planted_clusters(self, tmp_path):
+        scan, a, b = self._make_scene(tmp_path)
+        n = self._lift(tmp_path, scan)
+        assert n == 2
+        out = np.load(tmp_path / "out" / f"{scan}_bbox.npy")
+        out = out[np.argsort(out[:, 6])]  # sort by label: 5 then 7
+        for row, cluster, lbl, score in ((out[0], a, 5, 0.9), (out[1], b, 7, 0.8)):
+            lo, hi = cluster.min(0), cluster.max(0)
+            np.testing.assert_allclose(row[:3], (lo + hi) / 2, atol=1e-5)
+            np.testing.assert_allclose(row[3:6], hi - lo, atol=1e-5)
+            assert row[6] == lbl and row[7] == pytest.approx(score)
+
+    def test_gss_snap_transfers_label_and_geometry(self, tmp_path):
+        # proposal 0 overlaps object A (IoU >= 0.3): the output box must BE
+        # the proposal's geometry carrying A's label+score; proposal 1
+        # overlaps nothing and must be dropped
+        gss = np.array([
+            [0.0, 0.0, 2.0, 0.5, 0.5, 0.3],   # cs: near object A's AABB
+            [-3.0, -3.0, 8.0, 0.4, 0.4, 0.4],  # unmatched
+        ])
+        scan, a, b = self._make_scene(tmp_path, gss_boxes=gss)
+        n = self._lift(tmp_path, scan, use_gss=True)
+        out = np.load(tmp_path / "out" / f"{scan}_bbox.npy")
+        snapped = out[out[:, 6] == 5]
+        assert snapped.shape[0] == 1
+        np.testing.assert_allclose(snapped[0, :6], gss[0], atol=1e-6)
+        assert snapped[0, 7] == pytest.approx(0.9)
