@@ -1,19 +1,29 @@
 """End-to-end training-throughput benchmark on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  The headline metric is HONEST end-to-end throughput
+matching BASELINE.json's definition ("scenes/sec/chip, e2e preproc+detect"):
+fresh scenes flow through the DataLoader every step (host-side numpy scene
+synthesis + collate + H2D transfer), overlapping the jitted train step
+exactly like a real run.  Extra keys report the step-only number (device
+compute ceiling) and the open-vocab configuration with the frozen
+RegionCLIP RN50x4 teacher in the loss (the reference's dominant cost:
+criterion.py:363-399 re-runs the teacher once per decoder layer, x8; this
+framework hoists it to once per step — `ov_per_layer` measures the
+reference-equivalent x8 mode).
 
-Measures full training-step throughput (forward + criterion incl. Hungarian
-matching and GIoU + backward + AdamW) on the flagship SUN RGB-D config
-(enc 3x d256, dec 8x d256, 2048 pre-encoder points, 128 queries, 20k-point
-scenes, batch 8 — reference scripts/sunrgbd_quick.sh).
+Flagship point-only config: SUN RGB-D quick (enc 3x d256, dec 8x d256,
+2048 pre-encoder points, 128 queries, 20k-point scenes, batch 8 —
+reference scripts/sunrgbd_quick.sh).  Open-vocab config adds 530x730
+images + per-sample calibration (reference datasets/sunrgbd.py:275-285).
 
 Baseline: the reference reports ~10 days on one GPU for the 1080-epoch
-SUN RGB-D run (reference "Things to modify.md":6-10) = 1080 epochs x 5285
-train scenes / 864000 s ~= 6.6 scenes/sec — the documented reference
-number this repo must beat by >=10x (BASELINE.json north star).
+SUN RGB-D open-vocab run (reference "Things to modify.md":6-10) =
+1080 epochs x 5285 train scenes / 864000 s ~= 6.6 scenes/sec — the
+documented number this repo must beat by >=10x (BASELINE.json).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -28,7 +38,8 @@ except Exception:
     pass
 
 from ov3det.config import sunrgbd_quick
-from ov3det.datasets import make_batch
+from ov3det.datasets import SyntheticDataset, make_batch
+from ov3det.datasets.loader import DataLoader
 from ov3det.engine import build_training
 from ov3det.models import Model3DETR
 
@@ -37,10 +48,63 @@ BATCH = 8
 NUM_POINTS = 20000
 WARMUP = 5
 ITERS = 40
+OV_WARMUP = 2
+OV_ITERS = 10
+OV_PL_ITERS = 4
+IMG_H, IMG_W = 530, 730  # SUN RGB-D fixed canvas (reference sunrgbd.py:47)
 
 
-def main():
-    cfg = sunrgbd_quick()
+class OVSyntheticDataset(SyntheticDataset):
+    """Synthetic SUN RGB-D-like scenes + image/calibration fields, so the
+    open-vocab loader cost (image synthesis stands in for jpg decode +
+    canvas padding) and H2D volume are realistic."""
+
+    _RTILT = np.array(
+        [[0.999, 0.02, -0.04], [-0.02, 0.999, 0.01], [0.04, -0.01, 0.999]],
+        np.float32,
+    )
+    _K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        d = super().__getitem__(idx)
+        rng = np.random.default_rng(self.seed * 7919 + idx)
+        d["image"] = rng.uniform(0, 255, size=(IMG_H, IMG_W, 3)).astype(np.float32)
+        d["image_height"] = np.int32(IMG_H)
+        d["image_width"] = np.int32(IMG_W)
+        d["calib_Rtilt"] = self._RTILT
+        d["calib_K"] = self._K
+        return d
+
+
+def time_loop(train_step, state, batches, warmup, rng0=0):
+    metrics = None
+    for i, batch in enumerate(batches[:warmup]):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(rng0 + i))
+    float(metrics["loss"])  # force materialization (block_until_ready can be
+    # a no-op on proxied backends)
+    t0 = time.perf_counter()
+    for i, batch in enumerate(batches[warmup:]):
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(rng0 + 100 + i))
+    float(metrics["loss"])
+    return time.perf_counter() - t0, len(batches) - warmup
+
+
+def time_loader_loop(train_step, state, loader, warmup, iters):
+    """Overlapped loader + step timing: the honest e2e window includes the
+    host data path and H2D, hidden behind the step exactly as in training."""
+    metrics = None
+    it = iter(loader)
+    for i in range(warmup):
+        state, metrics = train_step(state, next(it), jax.random.PRNGKey(i))
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, next(it), jax.random.PRNGKey(100 + i))
+    float(metrics["loss"])
+    return time.perf_counter() - t0
+
+
+def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
     model = Model3DETR(cfg.model)
     rng = np.random.default_rng(0)
     batch_np = make_batch(
@@ -57,28 +121,96 @@ def main():
         "point_cloud_dims_max": batch["point_cloud_dims_max"],
     }
     state, train_step, _, _ = build_training(
-        cfg, model, inputs, iters_per_epoch=660, rng=jax.random.PRNGKey(0)
+        cfg, model, inputs, iters_per_epoch=iters_per_epoch,
+        rng=jax.random.PRNGKey(0), teacher_fn=teacher_fn,
+        teacher_vars=teacher_vars,
     )
+    return state, train_step, batch
 
-    for i in range(WARMUP):
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(i))
-    float(metrics["loss"])  # force materialization (block_until_ready can be
-    # a no-op on proxied backends)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(100 + i))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+def bench_point(cfg):
+    state, train_step, staged = build(cfg)
 
-    scenes_per_sec = BATCH * ITERS / dt
+    # step-only: one staged batch, dependency-chained steps
+    dt, n = time_loop(train_step, state, [staged] * (WARMUP + ITERS), WARMUP)
+    step_only = BATCH * n / dt
+
+    # e2e: fresh scenes through the DataLoader (host preproc + H2D included)
+    ds = SyntheticDataset(
+        size=(WARMUP + ITERS) * BATCH,
+        seed=3,
+        num_points=NUM_POINTS,
+        num_semcls=cfg.model.num_semcls,
+        num_angle_bin=cfg.model.num_angle_bin,
+    )
+    loader = DataLoader(ds, batch_size=BATCH, shuffle=False, num_workers=8,
+                        prefetch=2)
+    dt = time_loader_loop(train_step, state, loader, WARMUP, ITERS)
+    e2e = BATCH * ITERS / dt
+    return e2e, step_only
+
+
+def bench_ov(cfg, per_layer: bool, iters: int):
+    from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
+
+    # RN50x4 (width 80, layers (4,6,10,6)); bfloat16 trunk = TPU-fast frozen teacher
+    teacher = RegionCLIPTeacher(compute_dtype="bfloat16")
+    init_img = jnp.zeros((1, IMG_H, IMG_W, 3), jnp.float32)
+    t_vars = jax.jit(
+        lambda: teacher.init(jax.random.PRNGKey(0), init_img, jnp.zeros((1, 1, 4)))
+    )()
+    teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
+    state, train_step, _ = build(cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
+
+    warmup = 1 if per_layer else OV_WARMUP
+    ds = OVSyntheticDataset(
+        size=(warmup + iters) * BATCH,
+        seed=5,
+        num_points=NUM_POINTS,
+        num_semcls=cfg.model.num_semcls,
+        num_angle_bin=cfg.model.num_angle_bin,
+    )
+    loader = DataLoader(ds, batch_size=BATCH, shuffle=False, num_workers=8,
+                        prefetch=2)
+    dt = time_loader_loop(train_step, state, loader, warmup, iters)
+    return BATCH * iters / dt
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cfg = sunrgbd_quick()
+
+    extras = {}
+    e2e, step_only = bench_point(cfg)
+    extras["step_only_scenes_per_sec"] = round(step_only, 3)
+
+    if mode in ("all", "ov"):
+        try:
+            from dataclasses import replace
+
+            ov_cfg = replace(
+                cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0)
+            )
+            extras["ov_scenes_per_sec"] = round(
+                bench_ov(ov_cfg, per_layer=False, iters=OV_ITERS), 3
+            )
+            extras["ov_vs_baseline"] = round(
+                extras["ov_scenes_per_sec"] / REFERENCE_SCENES_PER_SEC, 3
+            )
+            extras["ov_per_layer_scenes_per_sec"] = round(
+                bench_ov(ov_cfg, per_layer=True, iters=OV_PL_ITERS), 3
+            )
+        except Exception as exc:  # pragma: no cover - keep the headline alive
+            extras["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     print(
         json.dumps(
             {
-                "metric": "train_scenes_per_sec_per_chip_sunrgbd",
-                "value": round(scenes_per_sec, 3),
+                "metric": "train_scenes_per_sec_per_chip_sunrgbd_e2e",
+                "value": round(e2e, 3),
                 "unit": "scenes/sec/chip",
-                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
+                "vs_baseline": round(e2e / REFERENCE_SCENES_PER_SEC, 3),
+                **extras,
             }
         )
     )

@@ -16,6 +16,21 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _split_teacher(state):
+    """Detach the frozen 2D-teacher weights from a TrainState (if present).
+
+    They are loaded from the RegionCLIP checkpoint and never change, so
+    persisting them in every train checkpoint would add ~180MB per save and
+    make checkpoints structurally incompatible between teacher/no-teacher
+    runs (the reference likewise keeps the teacher outside its model
+    state_dict — it lives in the criterion, criterion.py:397)."""
+    frozen = getattr(state, "frozen", None)
+    if isinstance(frozen, dict) and "teacher2d" in frozen:
+        kept = {k: v for k, v in frozen.items() if k != "teacher2d"}
+        return state.replace(frozen=kept), frozen["teacher2d"]
+    return state, None
+
+
 class CheckpointManager:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
@@ -26,6 +41,7 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, state: Any, epoch: int, name: str = "checkpoint", extra: Optional[dict] = None):
+        state, _ = _split_teacher(state)
         payload = {
             "state": jax.device_get(state),
             "epoch": np.asarray(epoch),
@@ -63,16 +79,22 @@ class CheckpointManager:
         path = self._path(name)
         if not os.path.isdir(path):
             return None, -1, None
+        abstract_state, teacher = _split_teacher(abstract_state)
         abstract = {
             "state": abstract_state,
             "epoch": np.asarray(0),
         }
         restored = self._ckptr.restore(path, abstract)
+        state = restored["state"]
+        if teacher is not None:
+            # reattach the LIVE teacher weights (frozen; sourced from the
+            # RegionCLIP checkpoint, not from this train checkpoint)
+            state = state.replace(frozen={**state.frozen, "teacher2d": teacher})
         extra = None
         if os.path.isfile(path + ".extra.json"):
             with open(path + ".extra.json") as fh:
                 extra = json.load(fh)
-        return restored["state"], int(restored["epoch"]), extra
+        return state, int(restored["epoch"]), extra
 
 
 def restore_eval_checkpoint(abstract_state, test_ckpt=None, checkpoint_dir=None):

@@ -60,6 +60,7 @@ def create_train_state(
     example_inputs: dict,
     rng: jax.Array,
     text_embed: Optional[jnp.ndarray] = None,
+    teacher_vars: Optional[Any] = None,
 ) -> TrainState:
     # jit the initializer: eager init dispatches thousands of tiny ops,
     # which is pathological over a remote-device transport
@@ -67,6 +68,12 @@ def create_train_state(
     frozen = dict(variables.get("frozen", {}))
     if text_embed is not None:
         frozen["text_embed"] = jnp.asarray(text_embed)
+    if teacher_vars is not None:
+        # frozen 2D-teacher weights ride in the state so the jitted step
+        # receives them as arguments — NOT as embedded HLO constants (an
+        # RN50x4 tree inflates the program to ~350MB otherwise); the
+        # checkpointer strips this key (see engine/checkpoint.py)
+        frozen["teacher2d"] = teacher_vars
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -87,8 +94,9 @@ def make_train_step(
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
-    teacher_fn: optional callable (batch, outputs) -> (B, Q, C) frozen
-    2D-teacher region features for the distillation loss.
+    teacher_fn: optional callable (teacher_vars, batch, outputs) ->
+    (B, Q, C) frozen 2D-teacher region features for the distillation loss;
+    its weights come from state.frozen["teacher2d"].
     """
 
     def loss_fn(params, state, batch, rng):
@@ -104,7 +112,11 @@ def make_train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        teacher_feats = teacher_fn(batch, outputs) if teacher_fn is not None else None
+        teacher_feats = (
+            teacher_fn(state.frozen["teacher2d"], batch, outputs)
+            if teacher_fn is not None
+            else None
+        )
         total, loss_dict = set_criterion(
             outputs,
             batch,
@@ -166,11 +178,14 @@ def build_training(
     rng: jax.Array,
     text_embed=None,
     teacher_fn=None,
+    teacher_vars=None,
 ):
     """Wire schedule + optimizer + state + steps from a TrainConfig."""
     schedule = make_lr_schedule(cfg.optim, cfg.max_epoch, iters_per_epoch)
     tx = build_optimizer(cfg.optim, schedule)
-    state = create_train_state(model, tx, example_inputs, rng, text_embed)
+    state = create_train_state(
+        model, tx, example_inputs, rng, text_embed, teacher_vars=teacher_vars
+    )
     train_step = make_train_step(
         model,
         tx,

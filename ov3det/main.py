@@ -269,7 +269,7 @@ def build_teacher_fn(cfg, example_batch):
         variables = jax.jit(
             lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
         )()
-    return make_teacher_fn(teacher, variables, per_layer=cfg.loss.teacher_per_layer)
+    return make_teacher_fn(teacher, per_layer=cfg.loss.teacher_per_layer), variables
 
 
 def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
@@ -326,7 +326,9 @@ def do_train(cfg: TrainConfig, args=None):
     text_embed = load_text_embed(
         cfg.teacher.text_embed_path, cfg.model.num_semcls, cfg.model.clip_embed_dim
     )
-    teacher_fn = build_teacher_fn(cfg, example) if cfg.teacher.enabled else None
+    teacher_fn, teacher_vars = (
+        build_teacher_fn(cfg, example) if cfg.teacher.enabled else (None, None)
+    )
     state, train_step, eval_step, schedule = build_training(
         cfg,
         model,
@@ -335,6 +337,7 @@ def do_train(cfg: TrainConfig, args=None):
         rng=jax.random.PRNGKey(cfg.seed),
         text_embed=text_embed,
         teacher_fn=teacher_fn,
+        teacher_vars=teacher_vars,
     )
     if mesh:
         state = replicate(state, mesh)

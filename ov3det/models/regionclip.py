@@ -75,8 +75,14 @@ class RegionCLIPTeacher(nn.Module):
         return emb.reshape(B, Q, self.embed_dim)
 
 
-def make_teacher_fn(teacher: RegionCLIPTeacher, variables, per_layer: bool = False):
-    """Build the criterion hook: (batch, outputs) -> region features.
+def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):
+    """Build the criterion hook: (variables, batch, outputs) -> region feats.
+
+    The frozen weights are an ARGUMENT of the returned function, not a
+    closure capture: a closed-over 87M-param tree would be baked into the
+    jitted train step as HLO constants — a ~350MB program that remote
+    compile services reject outright (and that recompiles on every weight
+    change).  The engine threads the weights through TrainState.frozen.
 
     per_layer=False (default) hoists the teacher out of the aux-layer loop:
     features are computed once on the FINAL decoder layer's boxes and reused
@@ -100,7 +106,7 @@ def make_teacher_fn(teacher: RegionCLIPTeacher, variables, per_layer: bool = Fal
             image_hw=jnp.stack([batch["image_height"], batch["image_width"]], -1),
         )
 
-    def teacher_fn(batch, outputs):
+    def teacher_fn(variables, batch, outputs):
         if not per_layer:
             boxes = _project(batch, outputs, -1)  # (B, Q, 4)
             feats = teacher.apply(variables, batch["image"], boxes)

@@ -183,13 +183,14 @@ class TestTeacherInTraining:
                                     pooler_resolution=6, image_resolution=64)
         t_vars = jax.jit(lambda: teacher.init(
             jax.random.PRNGKey(0), batch["image"], jnp.zeros((2, 1, 4))))()
-        teacher_fn = make_teacher_fn(teacher, t_vars)
+        teacher_fn = make_teacher_fn(teacher)
 
         model = Model3DETR(cfg.model)
         inputs = {k: batch[k] for k in
                   ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max")}
         state, train_step, _, _ = build_training(
-            cfg, model, inputs, 10, jax.random.PRNGKey(0), teacher_fn=teacher_fn)
+            cfg, model, inputs, 10, jax.random.PRNGKey(0), teacher_fn=teacher_fn,
+            teacher_vars=t_vars)
         state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
         assert "loss_2dalignment" in metrics
         assert np.isfinite(float(metrics["loss"]))
@@ -224,10 +225,10 @@ class TestTeacherInTraining:
             "angle_continuous": jnp.asarray(
                 rng.uniform(-1, 1, size=(L, B, Q)).astype(np.float32)),
         }
-        fn_last = make_teacher_fn(teacher, t_vars, per_layer=False)
-        fn_all = make_teacher_fn(teacher, t_vars, per_layer=True)
-        f_last = jax.jit(fn_last)(batch, outputs)
-        f_all = jax.jit(fn_all)(batch, outputs)
+        fn_last = make_teacher_fn(teacher, per_layer=False)
+        fn_all = make_teacher_fn(teacher, per_layer=True)
+        f_last = jax.jit(fn_last)(t_vars, batch, outputs)
+        f_all = jax.jit(fn_all)(t_vars, batch, outputs)
         assert f_last.shape == (B, Q, 16)
         assert f_all.shape == (L, B, Q, 16)
         np.testing.assert_allclose(
