@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ov3det.models.clip_resnet import CLIPResNetBackbone, CLIPResNetRes5Head
-from ov3det.ops.roi_align import roi_align
+from ov3det.ops.roi_align import roi_align_batched
 
 # CLIP RGB normalization (the scale detectron2's CLIP models use)
 _PIXEL_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32) * 255.0
@@ -45,6 +45,8 @@ class RegionCLIPTeacher(nn.Module):
     # teacher configuration (MXU convs, halved HBM traffic); the attnpool
     # softmax head always runs f32. None = float32 (parity-test setting).
     compute_dtype: Optional[str] = None
+    # max regions (B x Q-chunk) per RoI-head pass — bounds HBM (see below)
+    roi_chunk_regions: int = 256
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -55,24 +57,34 @@ class RegionCLIPTeacher(nn.Module):
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         x = (images - _PIXEL_MEAN) / _PIXEL_STD
         feat = CLIPResNetBackbone(self.width, self.layers, dtype, name="backbone")(x)
-        flat_boxes = boxes.reshape(B * Q, 4)
-        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Q)
-        pooled = roi_align(
-            feat,
-            flat_boxes,
-            batch_idx,
-            spatial_scale=self.pooler_scale,
-            output_size=self.pooler_resolution,
-        )
-        emb = CLIPResNetRes5Head(
+        head = CLIPResNetRes5Head(
             self.width,
             self.layers[3],
             self.embed_dim,
             self.image_resolution,
             dtype,
             name="roi_head",
-        )(pooled)
-        return emb.reshape(B, Q, self.embed_dim)
+        )
+        # RoI pipeline runs in region chunks: at teacher scale (1024 RoIs x
+        # 18x18 x 1280ch) the pooled tensor alone is ~850MB and the res5 +
+        # f32-attnpool intermediates several GB — chunking bounds the live
+        # set to one chunk's worth (the 530x730 B=8 teacher forward fits a
+        # 16GB chip with headroom; un-chunked it needs >17GB).  Params are
+        # shared across calls (same flax module instance).
+        P = self.pooler_resolution
+        chunk_q = max(1, min(Q, self.roi_chunk_regions // max(B, 1)))
+        embs = []
+        for q0 in range(0, Q, chunk_q):
+            boxes_c = boxes[:, q0 : q0 + chunk_q]
+            qc = boxes_c.shape[1]
+            pooled = roi_align_batched(
+                feat,
+                boxes_c,
+                spatial_scale=self.pooler_scale,
+                output_size=P,
+            ).reshape(B * qc, P, P, -1)
+            embs.append(head(pooled).reshape(B, qc, self.embed_dim))
+        return jnp.concatenate(embs, axis=1) if len(embs) > 1 else embs[0]
 
 
 def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):

@@ -77,3 +77,74 @@ def roi_align(
 
     feats_per_roi = features[box_batch_idx]  # (R, H, W, C)
     return jax.vmap(per_roi)(feats_per_roi, ys, xs)
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align_batched(
+    features: jnp.ndarray,  # (B, H, W, C)
+    boxes: jnp.ndarray,  # (B, Q, 4) [x1, y1, x2, y2] in input-image pixels
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """RoIAlign for the Q-boxes-per-image layout: (B, Q, out, out, C).
+
+    Numerically identical to roi_align (same aligned=True taps) but built
+    for scale: the generic path materializes a per-RoI copy of the whole
+    feature map (features[batch_idx] -> (R, H, W, C); at the RegionCLIP
+    teacher's 1024 RoIs over 34x46x1280 features that one intermediate is
+    ~8GB and OOMs a 16GB chip).  Here every RoI gathers directly from its
+    image's shared feature map, and the s*s sample taps are accumulated in
+    a python loop so the peak extra memory is two (B, Q, out, out, C)
+    buffers in the feature dtype.
+    """
+    B, H, W, C = features.shape
+    Q = boxes.shape[1]
+    dtype = features.dtype
+    scaled = boxes * spatial_scale
+    x1, y1 = scaled[..., 0] - 0.5, scaled[..., 1] - 0.5
+    x2, y2 = scaled[..., 2] - 0.5, scaled[..., 3] - 0.5
+    bin_w = jnp.maximum(x2 - x1, 1e-6) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1e-6) / output_size
+    s = sampling_ratio
+
+    o = jnp.arange(output_size, dtype=jnp.float32)
+
+    def taps(lo, bin_sz, frac):  # (B, Q) x (B, Q) -> (B, Q, out)
+        return lo[..., None] + (o[None, None, :] + frac) * bin_sz[..., None]
+
+    gather = jax.vmap(lambda f, cy, cx: f[cy, cx])  # (H,W,C),(Q,o,o) -> (Q,o,o,C)
+
+    # The s*s taps x 4 bilinear corners are accumulated SEQUENTIALLY in the
+    # feature dtype: every gather result is a full (B, Q, out, out, C)
+    # buffer (~850MB at teacher scale in bf16), so holding the 16 of them
+    # concurrently — or promoting them to f32 via f32 lerp weights — blows
+    # HBM.  Sequential FMA keeps peak memory at ~2 such buffers.
+    acc = jnp.zeros((B, Q, output_size, output_size, C), dtype)
+    for iy in range(s):
+        ys = taps(y1, bin_h, (iy + 0.5) / s)  # (B, Q, out)
+        for ix in range(s):
+            xs = taps(x1, bin_w, (ix + 0.5) / s)
+            yy = jnp.clip(
+                jnp.broadcast_to(ys[..., :, None], (B, Q, output_size, output_size)),
+                0.0, H - 1.0,
+            )
+            xx = jnp.clip(
+                jnp.broadcast_to(xs[..., None, :], (B, Q, output_size, output_size)),
+                0.0, W - 1.0,
+            )
+            y0 = jnp.floor(yy).astype(jnp.int32)
+            x0 = jnp.floor(xx).astype(jnp.int32)
+            y1i = jnp.minimum(y0 + 1, H - 1)
+            x1i = jnp.minimum(x0 + 1, W - 1)
+            wy = (yy - y0).astype(dtype)[..., None]
+            wx = (xx - x0).astype(dtype)[..., None]
+            one = jnp.ones((), dtype)
+            for cy, cx, w in (
+                (y0, x0, (one - wy) * (one - wx)),
+                (y0, x1i, (one - wy) * wx),
+                (y1i, x0, wy * (one - wx)),
+                (y1i, x1i, wy * wx),
+            ):
+                acc = acc + gather(features, cy, cx) * w
+    return acc / jnp.asarray(s * s, dtype)

@@ -92,6 +92,36 @@ class TestRoIAlignParity:
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+class TestRoIAlignBatchedParity:
+    def test_matches_generic_path(self):
+        """roi_align_batched (the OOM-safe (B, Q) layout the teacher uses)
+        must be numerically identical to the oracle-verified generic path."""
+        from ov3det.ops.roi_align import roi_align_batched
+
+        rng = np.random.default_rng(9)
+        B, Q = 3, 7
+        feats = rng.normal(size=(B, 12, 16, 5)).astype(np.float32)
+        x1 = rng.uniform(0, 50, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 35, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(2, 14, (B, Q)), y1 + rng.uniform(2, 12, (B, Q))],
+            axis=-1,
+        ).astype(np.float32)
+        got = roi_align_batched(
+            jnp.asarray(feats), jnp.asarray(boxes), spatial_scale=0.25, output_size=4
+        )
+        want = roi_align(
+            jnp.asarray(feats),
+            jnp.asarray(boxes.reshape(B * Q, 4)),
+            jnp.asarray(np.repeat(np.arange(B), Q).astype(np.int32)),
+            spatial_scale=0.25,
+            output_size=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(B * Q, 4, 4, 5), np.asarray(want), atol=1e-5
+        )
+
+
 class TestRoIHeadParity:
     def test_res5_attnpool_match(self, tower):
         net, variables = tower
