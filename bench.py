@@ -68,7 +68,9 @@ class OVSyntheticDataset(SyntheticDataset):
     def __getitem__(self, idx: int) -> dict:
         d = super().__getitem__(idx)
         rng = np.random.default_rng(self.seed * 7919 + idx)
-        d["image"] = rng.uniform(0, 255, size=(IMG_H, IMG_W, 3)).astype(np.float32)
+        # uint8 end-to-end: 4x less H2D than a float canvas; the teacher
+        # normalizes (and so promotes) on device
+        d["image"] = rng.integers(0, 256, size=(IMG_H, IMG_W, 3)).astype(np.uint8)
         d["image_height"] = np.int32(IMG_H)
         d["image_width"] = np.int32(IMG_W)
         d["calib_Rtilt"] = self._RTILT
@@ -135,7 +137,11 @@ def bench_point(cfg):
     dt, n = time_loop(train_step, state, [staged] * (WARMUP + ITERS), WARMUP)
     step_only = BATCH * n / dt
 
-    # e2e: fresh scenes through the DataLoader (host preproc + H2D included)
+    # e2e: fresh scenes through the DataLoader (host preproc + H2D included).
+    # The sharding makes the producer thread device_put each batch during
+    # prefetch, so H2D overlaps the step exactly as in training (device
+    # transfer through this harness's TPU tunnel is ~100ms/batch — left
+    # synchronous it would dominate the 45ms step).
     ds = SyntheticDataset(
         size=(WARMUP + ITERS) * BATCH,
         seed=3,
@@ -143,9 +149,13 @@ def bench_point(cfg):
         num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
-    loader = DataLoader(ds, batch_size=BATCH, shuffle=False, num_workers=8,
-                        prefetch=2)
+    loader = DataLoader(
+        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        worker_type="process", transfer="packed",
+    )
     dt = time_loader_loop(train_step, state, loader, WARMUP, ITERS)
+    loader.shutdown()
     e2e = BATCH * ITERS / dt
     return e2e, step_only
 
@@ -170,9 +180,13 @@ def bench_ov(cfg, per_layer: bool, iters: int):
         num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
-    loader = DataLoader(ds, batch_size=BATCH, shuffle=False, num_workers=8,
-                        prefetch=2)
+    loader = DataLoader(
+        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        worker_type="process", transfer="packed",
+    )
     dt = time_loader_loop(train_step, state, loader, warmup, iters)
+    loader.shutdown()
     return BATCH * iters / dt
 
 

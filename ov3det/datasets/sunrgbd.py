@@ -93,8 +93,10 @@ class SunrgbdDetectionDataset:
             Image.open(os.path.join(self.raw_data_path, "image", scan_name + ".jpg"))
         )  # RGB (the teacher tower normalizes with RGB statistics)
         h, w = img.shape[0], img.shape[1]
-        canvas = np.zeros((MAX_IMG_H, MAX_IMG_W, 3), np.float32)
-        canvas[:h, :w] = img.astype(np.float32)
+        # uint8 canvas: 4x less loader memory + H2D bandwidth than float32
+        # (the teacher normalizes — and so promotes — on device)
+        canvas = np.zeros((MAX_IMG_H, MAX_IMG_W, 3), np.uint8)
+        canvas[:h, :w] = img
         return Rtilt, K, canvas, h, w
 
     def __getitem__(self, idx: int) -> dict:

@@ -43,6 +43,8 @@ def run_inference(cfg, args) -> LabelFormatter:
         shuffle=False,
         drop_last=False,
         num_workers=cfg.data.num_workers,
+        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        transfer="packed" if jax.process_count() == 1 else "tree",
     )
     model = Model3DETR(cfg.model)
     example = next(iter(loader))

@@ -296,7 +296,15 @@ def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
 
 def do_train(cfg: TrainConfig, args=None):
     mesh = make_mesh(cfg.num_devices) if cfg.num_devices > 1 else None
-    sharding = batch_sharding(mesh) if mesh else None
+    # single-device: packed single-buffer transfer (one H2D put + on-device
+    # unpack per batch — per-array puts contend with in-flight step
+    # execution on remote transports, see datasets/loader.py); multi-device
+    # keeps per-array tree placement (batch-sharded over the mesh)
+    if mesh:
+        sharding, transfer = batch_sharding(mesh), "tree"
+    else:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        transfer = "packed" if jax.process_count() == 1 else "tree"
 
     datasets, dataset_config = build_dataset(cfg.data)
     train_loader = DataLoader(
@@ -306,6 +314,7 @@ def do_train(cfg: TrainConfig, args=None):
         num_workers=cfg.data.num_workers,
         seed=cfg.seed,
         sharding=sharding,
+        transfer=transfer,
     )
     test_loader = DataLoader(
         datasets["test"],
@@ -314,6 +323,7 @@ def do_train(cfg: TrainConfig, args=None):
         drop_last=False,
         num_workers=cfg.data.num_workers,
         sharding=sharding,
+        transfer=transfer,
     )
 
     model = Model3DETR(cfg.model)
@@ -482,6 +492,8 @@ def test_model(cfg: TrainConfig, test_ckpt: str | None = None):
         shuffle=False,
         drop_last=False,
         num_workers=cfg.data.num_workers,
+        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        transfer="packed" if jax.process_count() == 1 else "tree",
     )
     model = Model3DETR(cfg.model)
     example = next(iter(test_loader))

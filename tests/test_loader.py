@@ -107,3 +107,52 @@ class TestMultiHostLoading:
                                                           put[k].ndim)
             np.testing.assert_array_equal(np.asarray(assembled[k]),
                                           np.asarray(put[k]))
+
+
+class TestPackedTransfer:
+    """transfer="packed": one uint8 H2D buffer per batch + on-device unpack
+    (see loader.pack_batch rationale — per-array puts contend with step
+    execution on remote-device transports)."""
+
+    def test_pack_unpack_roundtrip_mixed_dtypes(self):
+        import jax.numpy as jnp
+
+        from ov3det.datasets.loader import pack_batch, unpack_batch
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "f32": rng.normal(size=(4, 7, 3)).astype(np.float32),
+            "i32": rng.integers(-5, 90, size=(4, 11)).astype(np.int32),
+            "i64": rng.integers(0, 9, size=(4,)).astype(np.int64),
+            "u8": rng.integers(0, 255, size=(2, 5, 6, 3)).astype(np.uint8),
+            "bool": rng.integers(0, 2, size=(4, 3)).astype(bool),
+            "f64": rng.normal(size=(3, 2)),
+        }
+        buf, metas = pack_batch(batch)
+        assert buf.dtype == np.uint8
+        out = unpack_batch(jnp.asarray(buf), metas)
+        assert set(out) == set(batch)
+        np.testing.assert_array_equal(np.asarray(out["f32"]), batch["f32"])
+        np.testing.assert_array_equal(np.asarray(out["i32"]), batch["i32"])
+        np.testing.assert_array_equal(np.asarray(out["i64"]),
+                                      batch["i64"].astype(np.int32))
+        np.testing.assert_array_equal(np.asarray(out["u8"]), batch["u8"])
+        np.testing.assert_array_equal(np.asarray(out["bool"]),
+                                      batch["bool"].astype(np.uint8))
+        np.testing.assert_allclose(np.asarray(out["f64"]),
+                                   batch["f64"].astype(np.float32))
+
+    def test_loader_packed_equals_tree(self):
+        import jax
+
+        from ov3det.datasets import SyntheticDataset
+        from ov3det.datasets.loader import DataLoader
+
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        ds = SyntheticDataset(size=8, num_points=64)
+        kw = dict(batch_size=4, shuffle=False, num_workers=2, sharding=sharding)
+        for a, b in zip(DataLoader(ds, transfer="packed", **kw),
+                        DataLoader(ds, transfer="tree", **kw)):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
