@@ -91,17 +91,18 @@ def time_loop(train_step, state, batches, warmup, rng0=0):
     return time.perf_counter() - t0, len(batches) - warmup
 
 
-def time_loader_loop(train_step, state, loader, warmup, iters):
+def time_loader_loop(run_step, state, loader, warmup, iters):
     """Overlapped loader + step timing: the honest e2e window includes the
-    host data path and H2D, hidden behind the step exactly as in training."""
+    host data path and H2D, hidden behind the step exactly as in training.
+    run_step handles both loader item forms (dict / packed pair)."""
     metrics = None
     it = iter(loader)
     for i in range(warmup):
-        state, metrics = train_step(state, next(it), jax.random.PRNGKey(i))
+        state, metrics = run_step(state, next(it), jax.random.PRNGKey(i))
     float(metrics["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = train_step(state, next(it), jax.random.PRNGKey(100 + i))
+        state, metrics = run_step(state, next(it), jax.random.PRNGKey(100 + i))
     float(metrics["loss"])
     return time.perf_counter() - t0
 
@@ -127,14 +128,23 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
         rng=jax.random.PRNGKey(0), teacher_fn=teacher_fn,
         teacher_vars=teacher_vars,
     )
-    return state, train_step, batch
+    from ov3det.engine.train import make_packed_step
+
+    packed_step = make_packed_step(train_step)
+
+    def run_step(state, item, key):
+        if isinstance(item, tuple):  # packed_device: unpack fused in-step
+            return packed_step(state, item[0], item[1], key)
+        return train_step(state, item, key)
+
+    return state, run_step, batch
 
 
 def bench_point(cfg):
-    state, train_step, staged = build(cfg)
+    state, run_step, staged = build(cfg)
 
     # step-only: one staged batch, dependency-chained steps
-    dt, n = time_loop(train_step, state, [staged] * (WARMUP + ITERS), WARMUP)
+    dt, n = time_loop(run_step, state, [staged] * (WARMUP + ITERS), WARMUP)
     step_only = BATCH * n / dt
 
     # e2e: fresh scenes through the DataLoader (host preproc + H2D included).
@@ -152,9 +162,9 @@ def bench_point(cfg):
     loader = DataLoader(
         ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
         sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        worker_type="process", transfer="packed",
+        worker_type="process", transfer="packed_device",
     )
-    dt = time_loader_loop(train_step, state, loader, WARMUP, ITERS)
+    dt = time_loader_loop(run_step, state, loader, WARMUP, ITERS)
     loader.shutdown()
     e2e = BATCH * ITERS / dt
     return e2e, step_only
@@ -170,7 +180,7 @@ def bench_ov(cfg, per_layer: bool, iters: int):
         lambda: teacher.init(jax.random.PRNGKey(0), init_img, jnp.zeros((1, 1, 4)))
     )()
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
-    state, train_step, _ = build(cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
+    state, run_step, _ = build(cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
     warmup = 1 if per_layer else OV_WARMUP
     ds = OVSyntheticDataset(
@@ -183,9 +193,9 @@ def bench_ov(cfg, per_layer: bool, iters: int):
     loader = DataLoader(
         ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
         sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        worker_type="process", transfer="packed",
+        worker_type="process", transfer="packed_device",
     )
-    dt = time_loader_loop(train_step, state, loader, warmup, iters)
+    dt = time_loader_loop(run_step, state, loader, warmup, iters)
     loader.shutdown()
     return BATCH * iters / dt
 

@@ -42,8 +42,23 @@ def _worker_init(ds_bytes: bytes):
     _WORKER_DATASET = pickle.loads(ds_bytes)
 
 
-def _worker_get(idx):
-    return _WORKER_DATASET[int(idx)]
+def _build_batch(dataset, idxs, valid_mask, packed: bool):
+    """Fetch + collate (+ pack) one whole batch; runs INSIDE a worker.
+
+    Batch-level parallelism (torch DataLoader semantics: each worker owns
+    whole batches): K workers build K batches concurrently, and the
+    producer thread only forwards results — at 20k-point scenes the
+    per-sample collate + pack is several ms of host work per batch that
+    would otherwise serialize in the producer.
+    """
+    batch = collate([dataset[int(i)] for i in idxs])
+    if valid_mask is not None:
+        batch["valid_mask"] = valid_mask
+    return pack_batch(batch) if packed else batch
+
+
+def _worker_build_batch(idxs, valid_mask, packed):
+    return _build_batch(_WORKER_DATASET, idxs, valid_mask, packed)
 
 
 # --- packed single-buffer transfer --------------------------------------
@@ -137,7 +152,12 @@ class DataLoader:
         transfer="packed" ships each batch as ONE uint8 buffer and unpacks
         on device (see pack_batch) — use on transports where per-array
         device_put contends with step execution; single-device shardings
-        only (the packed layout is key-major, it cannot shard batch-wise)."""
+        only (the packed layout is key-major, it cannot shard batch-wise).
+        transfer="packed_device" additionally SKIPS the unpack dispatch and
+        yields (device_buffer, metas) — pair it with
+        engine.make_packed_step so the unpack fuses into the train step
+        (one dispatch per batch instead of two); call loader.unpack(item)
+        when the dict form is needed (metrics/eval)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -158,8 +178,8 @@ class DataLoader:
         # DataLoader); "thread": in-process pool, fine for IO-light datasets
         assert worker_type in ("thread", "process"), worker_type
         self.worker_type = worker_type
-        assert transfer in ("tree", "packed"), transfer
-        if transfer == "packed":
+        assert transfer in ("tree", "packed", "packed_device"), transfer
+        if transfer != "tree":
             assert self.process_count == 1 and not global_assembly, (
                 "packed transfer is single-host (key-major layout can't "
                 "shard batch-wise)"
@@ -232,29 +252,41 @@ class DataLoader:
             return jax.device_put(x, self.sharding)
 
         pool = self._ensure_pool()
-        fetch = (
-            _worker_get if self.worker_type == "process" else self.dataset.__getitem__
-        )
+        packed = self.transfer in ("packed", "packed_device")
 
-        packed = self.transfer == "packed"
+        def submit(idxs, n_valid):
+            local = idxs[pi * local_b : (pi + 1) * local_b]
+            valid_mask = None
+            if not self.drop_last:
+                # mask over GLOBAL batch positions; keep the local rows
+                mask = (np.arange(self.batch_size) < n_valid).astype(np.float32)
+                valid_mask = mask[pi * local_b : (pi + 1) * local_b]
+            if self.worker_type == "process":
+                return pool.submit(_worker_build_batch, local, valid_mask, packed)
+            return pool.submit(_build_batch, self.dataset, local, valid_mask,
+                               packed)
 
         def producer():
-            for idxs, n_valid in self._index_batches():
-                local = idxs[pi * local_b : (pi + 1) * local_b]
-                samples = list(pool.map(fetch, local))
-                batch = collate(samples)
-                if not self.drop_last:
-                    # mask over GLOBAL batch positions; keep the local rows
-                    mask = (np.arange(self.batch_size) < n_valid).astype(
-                        np.float32
-                    )
-                    batch["valid_mask"] = mask[pi * local_b : (pi + 1) * local_b]
-                if packed:
-                    # host-side pack only; the single device_put + unpack
-                    # happen in the CONSUMER thread — a put issued here
-                    # would contend with in-flight step execution
-                    batch = pack_batch(batch)
-                elif self.sharding is not None:
+            # batch-level pipeline: keep up to num_workers batches in
+            # flight; the producer thread only awaits + forwards (and tree-
+            # places for the sharded path), never builds batches itself
+            from collections import deque
+
+            gen = self._index_batches()
+            futs: deque = deque()
+            try:
+                while len(futs) < self.num_workers:
+                    futs.append(submit(*next(gen)))
+            except StopIteration:
+                gen = None
+            while futs:
+                batch = futs.popleft().result()
+                if gen is not None:
+                    try:
+                        futs.append(submit(*next(gen)))
+                    except StopIteration:
+                        gen = None
+                if not packed and self.sharding is not None:
                     batch = jax.tree_util.tree_map(place, batch)
                 out_q.put(batch)
             out_q.put(sentinel)
@@ -269,6 +301,17 @@ class DataLoader:
                 buf, metas = item
                 if self.sharding is not None:
                     buf = jax.device_put(buf, self.sharding)
-                item = unpack_batch(buf, metas)
+                item = (
+                    (buf, metas)
+                    if self.transfer == "packed_device"
+                    else unpack_batch(buf, metas)
+                )
             yield item
         t.join()
+
+    @staticmethod
+    def unpack(item):
+        """dict form of a yielded item under any transfer mode."""
+        if isinstance(item, tuple):
+            return unpack_batch(*item)
+        return item

@@ -314,7 +314,8 @@ def do_train(cfg: TrainConfig, args=None):
         num_workers=cfg.data.num_workers,
         seed=cfg.seed,
         sharding=sharding,
-        transfer=transfer,
+        # train hot loop: unpack fuses into the step (one dispatch/batch)
+        transfer="packed_device" if transfer == "packed" else transfer,
     )
     test_loader = DataLoader(
         datasets["test"],
@@ -352,6 +353,16 @@ def do_train(cfg: TrainConfig, args=None):
     if mesh:
         state = replicate(state, mesh)
 
+    from ov3det.engine.train import make_packed_step
+
+    packed_step = make_packed_step(train_step)
+
+    def run_step(state, item, key):
+        """Dispatch one train step for either loader item form."""
+        if isinstance(item, tuple):  # packed_device: (device buf, metas)
+            return packed_step(state, item[0], item[1], key)
+        return train_step(state, item, key)
+
     assert cfg.checkpoint_dir, "set --checkpoint_dir"
     ckpt = CheckpointManager(cfg.checkpoint_dir)
     restored, loaded_epoch, extra = ckpt.restore(jax.device_get(state))
@@ -386,7 +397,7 @@ def do_train(cfg: TrainConfig, args=None):
             exact_eval=False,
             eval_processes=0,
         )
-        for it, batch in enumerate(train_loader):
+        for it, item in enumerate(train_loader):
             if guard.should_stop:
                 # preemption: persist the latest state and exit cleanly
                 ckpt.save_latest(state, epoch - 1, extra={"best_ap25": best_ap25})
@@ -398,14 +409,15 @@ def do_train(cfg: TrainConfig, args=None):
             if cfg.profile_dir and global_it == 1:  # skip the compile step
                 os.makedirs(cfg.profile_dir, exist_ok=True)
                 jax.profiler.start_trace(cfg.profile_dir)
-            state, metrics = train_step(
-                state, batch, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), curr_iter)
+            state, metrics = run_step(
+                state, item, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), curr_iter)
             )
             if cfg.profile_dir and global_it == 1 + cfg.profile_steps:
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {cfg.profile_dir}")
             if curr_iter % cfg.log_metrics_every == 0:
+                batch = DataLoader.unpack(item)
                 outputs = eval_step(state, batch)
                 train_ap.step_meter(outputs, batch)
             if curr_iter % cfg.log_every == 0:
