@@ -147,26 +147,28 @@ def bench_point(cfg):
     dt, n = time_loop(run_step, state, [staged] * (WARMUP + ITERS), WARMUP)
     step_only = BATCH * n / dt
 
-    # e2e: fresh scenes through the DataLoader (host preproc + H2D included).
-    # The sharding makes the producer thread device_put each batch during
-    # prefetch, so H2D overlaps the step exactly as in training (device
-    # transfer through this harness's TPU tunnel is ~100ms/batch — left
-    # synchronous it would dominate the 45ms step).
-    ds = SyntheticDataset(
-        size=(WARMUP + ITERS) * BATCH,
-        seed=3,
-        num_points=NUM_POINTS,
-        num_semcls=cfg.model.num_semcls,
-        num_angle_bin=cfg.model.num_angle_bin,
-    )
-    loader = DataLoader(
-        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
-        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        worker_type="process", transfer="packed_device",
-    )
-    dt = time_loader_loop(run_step, state, loader, WARMUP, ITERS)
-    loader.shutdown()
-    e2e = BATCH * ITERS / dt
+    # e2e: fresh scenes through the DataLoader (host preproc + H2D + unpack
+    # fused into the step).  Median of 3 windows: dispatch latency through
+    # this harness's shared device tunnel wobbles ~1.5x run-to-run, and a
+    # single 40-iter window inherits that noise wholesale.
+    rates = []
+    for rep in range(3):
+        ds = SyntheticDataset(
+            size=(WARMUP + ITERS) * BATCH,
+            seed=3 + rep,
+            num_points=NUM_POINTS,
+            num_semcls=cfg.model.num_semcls,
+            num_angle_bin=cfg.model.num_angle_bin,
+        )
+        loader = DataLoader(
+            ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            worker_type="process", transfer="packed_device",
+        )
+        dt = time_loader_loop(run_step, state, loader, WARMUP, ITERS)
+        loader.shutdown()
+        rates.append(BATCH * ITERS / dt)
+    e2e = sorted(rates)[1]
     return e2e, step_only
 
 

@@ -124,12 +124,16 @@ def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):
             feats = teacher.apply(variables, batch["image"], boxes)
             return jax.lax.stop_gradient(feats)  # (B, Q, C)
         L = outputs["center_unnormalized"].shape[0]
-
-        def one_layer(l):
-            boxes = _project(batch, outputs, l)
-            return teacher.apply(variables, batch["image"], boxes)
-
-        feats = jax.lax.map(one_layer, jnp.arange(L))  # (L, B, Q, C)
+        # unrolled python loop, not lax.map: the teacher body is heavy
+        # (26-block conv tower + chunked RoI head) and scan-wrapping it
+        # measured ~30x slower than the same work unrolled on the target
+        # runtime; L=8 copies of a shared-weight body dedupe fine in XLA
+        feats = jnp.stack(
+            [
+                teacher.apply(variables, batch["image"], _project(batch, outputs, l))
+                for l in range(L)
+            ]
+        )  # (L, B, Q, C)
         return jax.lax.stop_gradient(feats)
 
     return teacher_fn
