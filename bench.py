@@ -185,21 +185,25 @@ def bench_ov(cfg, per_layer: bool, iters: int):
     state, run_step, _ = build(cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
     warmup = 1 if per_layer else OV_WARMUP
-    ds = OVSyntheticDataset(
-        size=(warmup + iters) * BATCH,
-        seed=5,
-        num_points=NUM_POINTS,
-        num_semcls=cfg.model.num_semcls,
-        num_angle_bin=cfg.model.num_angle_bin,
-    )
-    loader = DataLoader(
-        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
-        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        worker_type="process", transfer="packed_device",
-    )
-    dt = time_loader_loop(run_step, state, loader, warmup, iters)
-    loader.shutdown()
-    return BATCH * iters / dt
+    reps = 1 if per_layer else 3  # median-of-3, like bench_point
+    rates = []
+    for rep in range(reps):
+        ds = OVSyntheticDataset(
+            size=(warmup + iters) * BATCH,
+            seed=5 + rep,
+            num_points=NUM_POINTS,
+            num_semcls=cfg.model.num_semcls,
+            num_angle_bin=cfg.model.num_angle_bin,
+        )
+        loader = DataLoader(
+            ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            worker_type="process", transfer="packed_device",
+        )
+        dt = time_loader_loop(run_step, state, loader, warmup, iters)
+        loader.shutdown()
+        rates.append(BATCH * iters / dt)
+    return sorted(rates)[len(rates) // 2]
 
 
 def main():
