@@ -23,8 +23,18 @@ import torch
 
 from tests.ref_oracle import install_working_pointnet2
 
-install_working_pointnet2()
-add_reference_to_path()
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_reference():
+    """(Re)install working pointnet2 stand-ins at TEST time, not import
+    time: pytest imports every test module during collection, and evicting
+    the cached reference modules then would leave earlier-running tests
+    (test_eval's RefAPCalculator) holding functions from dead module
+    objects — the reference's mp.Pool pickles its class-eval worker by
+    qualified name and fails with 'not the same object'."""
+    install_working_pointnet2()
+    add_reference_to_path()
+
 
 import jax
 import jax.numpy as jnp
