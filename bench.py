@@ -1,15 +1,26 @@
 """End-to-end training-throughput benchmark on the local accelerator.
 
-Prints ONE JSON line.  The headline metric is HONEST end-to-end throughput
-matching BASELINE.json's definition ("scenes/sec/chip, e2e preproc+detect"):
-fresh scenes flow through the DataLoader every step (host-side numpy scene
-synthesis + collate + H2D transfer), overlapping the jitted train step
-exactly like a real run.  Extra keys report the step-only number (device
-compute ceiling) and the open-vocab configuration with the frozen
+Prints one JSON result line per completed section, each a superset of the
+last — the driver parses the tail, so the final (most complete) line wins,
+and if any later section is killed the already-flushed headline stands.
+Progress/diagnostics go to stderr only.
+
+The headline metric is HONEST end-to-end throughput matching BASELINE.json's
+definition ("scenes/sec/chip, e2e preproc+detect"): fresh scenes flow
+through the DataLoader every step (host-side numpy scene synthesis +
+collate + H2D transfer), overlapping the jitted train step exactly like a
+real run.  Extra keys report the step-only number (device compute ceiling),
+the fetch/dispatch wall split inside the e2e window, an estimated MFU from
+XLA's own cost analysis, and the open-vocab configuration with the frozen
 RegionCLIP RN50x4 teacher in the loss (the reference's dominant cost:
-criterion.py:363-399 re-runs the teacher once per decoder layer, x8; this
-framework hoists it to once per step — `ov_per_layer` measures the
-reference-equivalent x8 mode).
+criterion.py:363-399).
+
+Every section is wall-clock budget-guarded (default 540 s total, override
+with --budget or BENCH_BUDGET_S): a section that would bust the budget is
+skipped and recorded as "skipped_<name>": "budget" instead of timing out
+the whole run.  The reference-parity x8 per-layer teacher mode is opt-in
+(--per-layer): it re-runs the teacher once per decoder layer like
+reference criterion.py:434-442 and is documented, not default-benched.
 
 Flagship point-only config: SUN RGB-D quick (enc 3x d256, dec 8x d256,
 2048 pre-encoder points, 128 queries, 20k-point scenes, batch 8 —
@@ -21,6 +32,7 @@ SUN RGB-D open-vocab run (reference "Things to modify.md":6-10) =
 1080 epochs x 5285 train scenes / 864000 s ~= 6.6 scenes/sec — the
 documented number this repo must beat by >=10x (BASELINE.json).
 """
+import argparse
 import json
 import os
 import sys
@@ -38,7 +50,7 @@ except Exception:
     pass
 
 from ov3det.config import sunrgbd_quick
-from ov3det.datasets import SyntheticDataset, make_batch
+from ov3det.datasets import SyntheticDataset, SyntheticOVDataset, make_batch
 from ov3det.datasets.loader import DataLoader
 from ov3det.engine import build_training
 from ov3det.models import Model3DETR
@@ -47,64 +59,88 @@ REFERENCE_SCENES_PER_SEC = 6.6  # see module docstring
 BATCH = 8
 NUM_POINTS = 20000
 WARMUP = 5
-ITERS = 40
+STEP_ITERS = 30
+E2E_ITERS = 20  # per window; median of 3 windows from ONE loader stream
 OV_WARMUP = 2
-OV_ITERS = 10
+OV_ITERS = 8
 OV_PL_ITERS = 4
-IMG_H, IMG_W = 530, 730  # SUN RGB-D fixed canvas (reference sunrgbd.py:47)
+IMG_H, IMG_W = SyntheticOVDataset.IMG_H, SyntheticOVDataset.IMG_W
+# TPU v5e peak dense bf16 matmul throughput (public spec) — MFU denominator
+V5E_PEAK_FLOPS = 197e12
+
+_T0 = time.perf_counter()
 
 
-class OVSyntheticDataset(SyntheticDataset):
-    """Synthetic SUN RGB-D-like scenes + image/calibration fields, so the
-    open-vocab loader cost (image synthesis stands in for jpg decode +
-    canvas padding) and H2D volume are realistic."""
-
-    _RTILT = np.array(
-        [[0.999, 0.02, -0.04], [-0.02, 0.999, 0.01], [0.04, -0.01, 0.999]],
-        np.float32,
-    )
-    _K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
-
-    def __getitem__(self, idx: int) -> dict:
-        d = super().__getitem__(idx)
-        rng = np.random.default_rng(self.seed * 7919 + idx)
-        # uint8 end-to-end: 4x less H2D than a float canvas; the teacher
-        # normalizes (and so promotes) on device
-        d["image"] = rng.integers(0, 256, size=(IMG_H, IMG_W, 3)).astype(np.uint8)
-        d["image_height"] = np.int32(IMG_H)
-        d["image_width"] = np.int32(IMG_W)
-        d["calib_Rtilt"] = self._RTILT
-        d["calib_K"] = self._K
-        return d
+def note(msg: str):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
-def time_loop(train_step, state, batches, warmup, rng0=0):
+class Budget:
+    def __init__(self, total_s: float):
+        self.deadline = _T0 + total_s
+
+    def remaining(self) -> float:
+        return self.deadline - time.perf_counter()
+
+    def allows(self, est_s: float) -> bool:
+        return self.remaining() > est_s
+
+
+def emit(result: dict):
+    """Flush one complete JSON result line to stdout (driver parses tail)."""
+    print(json.dumps(result), flush=True)
+
+
+def time_loop(run_step, state, batches, warmup, rng0=0):
     metrics = None
     for i, batch in enumerate(batches[:warmup]):
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(rng0 + i))
+        state, metrics = run_step(state, batch, jax.random.PRNGKey(rng0 + i))
     float(metrics["loss"])  # force materialization (block_until_ready can be
     # a no-op on proxied backends)
     t0 = time.perf_counter()
     for i, batch in enumerate(batches[warmup:]):
-        state, metrics = train_step(state, batch, jax.random.PRNGKey(rng0 + 100 + i))
+        state, metrics = run_step(state, batch, jax.random.PRNGKey(rng0 + 100 + i))
     float(metrics["loss"])
     return time.perf_counter() - t0, len(batches) - warmup
 
 
-def time_loader_loop(run_step, state, loader, warmup, iters):
+def time_loader_windows(run_step, state, loader, warmup, iters, windows,
+                        budget: Budget):
     """Overlapped loader + step timing: the honest e2e window includes the
     host data path and H2D, hidden behind the step exactly as in training.
-    run_step handles both loader item forms (dict / packed pair)."""
+    Takes `windows` consecutive measurement windows from ONE loader stream
+    (one worker pool — reusing it avoids re-paying process spawn per rep)
+    and returns (median rate, mean fetch ms, mean dispatch ms, windows_run).
+    Stops early if the budget runs out; the windows already taken stand."""
     metrics = None
     it = iter(loader)
     for i in range(warmup):
         state, metrics = run_step(state, next(it), jax.random.PRNGKey(i))
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = run_step(state, next(it), jax.random.PRNGKey(100 + i))
-    float(metrics["loss"])
-    return time.perf_counter() - t0
+    rates, fetch_ms, disp_ms = [], [], []
+    for w in range(windows):
+        t_f = t_d = 0.0
+        t0 = time.perf_counter()
+        for i in range(iters):
+            ta = time.perf_counter()
+            batch = next(it)
+            tb = time.perf_counter()
+            state, metrics = run_step(
+                state, batch, jax.random.PRNGKey(1000 * w + 100 + i)
+            )
+            t_f += tb - ta
+            t_d += time.perf_counter() - tb
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        rates.append(BATCH * iters / dt)
+        fetch_ms.append(t_f / iters * 1e3)
+        disp_ms.append(t_d / iters * 1e3)
+        if w + 1 < windows and not budget.allows(dt * 1.5):
+            note(f"stopping e2e windows early after {w + 1}/{windows} (budget)")
+            break
+    med = sorted(rates)[len(rates) // 2]
+    return med, float(np.mean(fetch_ms)), float(np.mean(disp_ms)), len(rates)
 
 
 def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
@@ -137,44 +173,78 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
 
-    return state, run_step, batch
+    return state, run_step, batch, train_step
 
 
-def bench_point(cfg):
-    state, run_step, staged = build(cfg)
+def step_flops(train_step, state, batch) -> float:
+    """XLA's own FLOP estimate for one train step (fwd+bwd+update)."""
+    try:
+        compiled = train_step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception as exc:  # cost analysis is best-effort on remote backends
+        note(f"cost_analysis unavailable: {type(exc).__name__}: {exc}")
+        return 0.0
 
-    # step-only: one staged batch, dependency-chained steps
-    dt, n = time_loop(run_step, state, [staged] * (WARMUP + ITERS), WARMUP)
+
+def make_loader(ds):
+    return DataLoader(
+        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+        sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+        worker_type="process", transfer="packed_device",
+    )
+
+
+def bench_point(cfg, budget: Budget, extras: dict):
+    note("building point-only model + compiling train step")
+    state, run_step, staged, train_step = build(cfg)
+
+    # step-only: one staged batch, dependency-chained steps (device ceiling)
+    dt, n = time_loop(run_step, state, [staged] * (WARMUP + STEP_ITERS), WARMUP)
     step_only = BATCH * n / dt
+    extras["step_only_scenes_per_sec"] = round(step_only, 3)
+    extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
+    note(f"step-only {step_only:.1f} scenes/s")
+
+    fl = step_flops(train_step, state, staged)
+    if fl > 0:
+        flops_per_sec = fl * step_only / BATCH
+        extras["step_tflops_est"] = round(fl / 1e12, 3)
+        extras["mfu_pct_vs_v5e_bf16_peak"] = round(
+            100 * flops_per_sec / V5E_PEAK_FLOPS, 2
+        )
 
     # e2e: fresh scenes through the DataLoader (host preproc + H2D + unpack
     # fused into the step).  Median of 3 windows: dispatch latency through
-    # this harness's shared device tunnel wobbles ~1.5x run-to-run, and a
-    # single 40-iter window inherits that noise wholesale.
-    rates = []
-    for rep in range(3):
-        ds = SyntheticDataset(
-            size=(WARMUP + ITERS) * BATCH,
-            seed=3 + rep,
-            num_points=NUM_POINTS,
-            num_semcls=cfg.model.num_semcls,
-            num_angle_bin=cfg.model.num_angle_bin,
-        )
-        loader = DataLoader(
-            ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
-            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-            worker_type="process", transfer="packed_device",
-        )
-        dt = time_loader_loop(run_step, state, loader, WARMUP, ITERS)
-        loader.shutdown()
-        rates.append(BATCH * ITERS / dt)
-    e2e = sorted(rates)[1]
-    return e2e, step_only
+    # this harness's shared device tunnel wobbles run-to-run, and a single
+    # window inherits that noise wholesale.
+    note("point e2e windows")
+    ds = SyntheticDataset(
+        size=(WARMUP + 3 * E2E_ITERS) * BATCH, seed=3,
+        num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
+        num_angle_bin=cfg.model.num_angle_bin,
+    )
+    loader = make_loader(ds)
+    e2e, f_ms, d_ms, nwin = time_loader_windows(
+        run_step, state, loader, WARMUP, E2E_ITERS, 3, budget
+    )
+    loader.shutdown()
+    extras["e2e_windows"] = nwin
+    extras["e2e_fetch_ms_per_batch"] = round(f_ms, 1)
+    extras["e2e_dispatch_ms_per_batch"] = round(d_ms, 1)
+    note(f"point e2e {e2e:.1f} scenes/s (fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
+    return e2e
 
 
-def bench_ov(cfg, per_layer: bool, iters: int):
+def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
+             budget: Budget):
+    from dataclasses import replace
+
     from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
 
+    ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
     # RN50x4 (width 80, layers (4,6,10,6)); bfloat16 trunk = TPU-fast frozen teacher
     teacher = RegionCLIPTeacher(compute_dtype="bfloat16")
     init_img = jnp.zeros((1, IMG_H, IMG_W, 3), jnp.float32)
@@ -182,68 +252,82 @@ def bench_ov(cfg, per_layer: bool, iters: int):
         lambda: teacher.init(jax.random.PRNGKey(0), init_img, jnp.zeros((1, 1, 4)))
     )()
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
-    state, run_step, _ = build(cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
+    state, run_step, _, _ = build(ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
-    warmup = 1 if per_layer else OV_WARMUP
-    reps = 1 if per_layer else 3  # median-of-3, like bench_point
-    rates = []
-    for rep in range(reps):
-        ds = OVSyntheticDataset(
-            size=(warmup + iters) * BATCH,
-            seed=5 + rep,
-            num_points=NUM_POINTS,
-            num_semcls=cfg.model.num_semcls,
-            num_angle_bin=cfg.model.num_angle_bin,
-        )
-        loader = DataLoader(
-            ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
-            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-            worker_type="process", transfer="packed_device",
-        )
-        dt = time_loader_loop(run_step, state, loader, warmup, iters)
-        loader.shutdown()
-        rates.append(BATCH * iters / dt)
-    return sorted(rates)[len(rates) // 2]
+    ds = SyntheticOVDataset(
+        size=(warmup + windows * iters) * BATCH, seed=5,
+        num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
+        num_angle_bin=cfg.model.num_angle_bin,
+    )
+    loader = make_loader(ds)
+    rate, f_ms, d_ms, _ = time_loader_windows(
+        run_step, state, loader, warmup, iters, windows, budget
+    )
+    loader.shutdown()
+    note(f"ov{'-per-layer' if per_layer else ''} {rate:.2f} scenes/s "
+         f"(fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
+    return rate, f_ms, d_ms
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", nargs="?", default="all",
+                    choices=["all", "point", "ov"])
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 540)),
+                    help="total wall-clock budget in seconds")
+    ap.add_argument("--per-layer", action="store_true",
+                    help="also bench the reference-parity x8 per-layer "
+                    "teacher mode (expensive; opt-in)")
+    args = ap.parse_args()
+    budget = Budget(args.budget)
     cfg = sunrgbd_quick()
 
     extras = {}
-    e2e, step_only = bench_point(cfg)
-    extras["step_only_scenes_per_sec"] = round(step_only, 3)
+    e2e = None
+    if args.mode in ("all", "point"):
+        e2e = bench_point(cfg, budget, extras)
+    result = {
+        "metric": "train_scenes_per_sec_per_chip_sunrgbd_e2e",
+        "value": round(e2e, 3) if e2e is not None else None,
+        "unit": "scenes/sec/chip",
+        "vs_baseline": round(e2e / REFERENCE_SCENES_PER_SEC, 3)
+        if e2e is not None
+        else None,
+        **extras,
+    }
+    emit(result)  # headline lands NOW; later sections only improve on it
 
-    if mode in ("all", "ov"):
+    if args.mode in ("all", "ov"):
+        # teacher compile (warm cache) + windows: ~3-4 min on this chip
+        if not budget.allows(60):
+            result["skipped_ov"] = "budget"
+            emit(result)
+            return
         try:
-            from dataclasses import replace
-
-            ov_cfg = replace(
-                cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0)
+            rate, f_ms, d_ms = bench_ov(
+                cfg, False, OV_WARMUP, OV_ITERS, 3, budget
             )
-            extras["ov_scenes_per_sec"] = round(
-                bench_ov(ov_cfg, per_layer=False, iters=OV_ITERS), 3
-            )
-            extras["ov_vs_baseline"] = round(
-                extras["ov_scenes_per_sec"] / REFERENCE_SCENES_PER_SEC, 3
-            )
-            extras["ov_per_layer_scenes_per_sec"] = round(
-                bench_ov(ov_cfg, per_layer=True, iters=OV_PL_ITERS), 3
-            )
+            result["ov_scenes_per_sec"] = round(rate, 3)
+            result["ov_vs_baseline"] = round(rate / REFERENCE_SCENES_PER_SEC, 3)
+            result["ov_fetch_ms_per_batch"] = round(f_ms, 1)
+            result["ov_dispatch_ms_per_batch"] = round(d_ms, 1)
         except Exception as exc:  # pragma: no cover - keep the headline alive
-            extras["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            result["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        emit(result)
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_scenes_per_sec_per_chip_sunrgbd_e2e",
-                "value": round(e2e, 3),
-                "unit": "scenes/sec/chip",
-                "vs_baseline": round(e2e / REFERENCE_SCENES_PER_SEC, 3),
-                **extras,
-            }
-        )
-    )
+        if args.per_layer:
+            if not budget.allows(120):
+                result["skipped_ov_per_layer"] = "budget"
+            else:
+                try:
+                    rate, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1, budget)
+                    result["ov_per_layer_scenes_per_sec"] = round(rate, 3)
+                except Exception as exc:  # pragma: no cover
+                    result["ov_per_layer_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            emit(result)
+
+    note(f"done in {time.perf_counter() - _T0:.0f}s")
 
 
 if __name__ == "__main__":

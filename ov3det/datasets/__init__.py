@@ -1,3 +1,8 @@
-from ov3det.datasets.synthetic import SyntheticDataset, make_batch, make_scene
+from ov3det.datasets.synthetic import (
+    SyntheticDataset,
+    SyntheticOVDataset,
+    make_batch,
+    make_scene,
+)
 
-__all__ = ["SyntheticDataset", "make_batch", "make_scene"]
+__all__ = ["SyntheticDataset", "SyntheticOVDataset", "make_batch", "make_scene"]

@@ -268,28 +268,44 @@ class DataLoader:
 
         def producer():
             # batch-level pipeline: keep up to num_workers batches in
-            # flight; the producer thread only awaits + forwards (and tree-
-            # places for the sharded path), never builds batches itself
+            # flight; the producer thread only awaits + forwards (and
+            # places batches on device for the sharded path), never builds
+            # batches itself.  The H2D put for packed batches happens HERE,
+            # off the consumer's critical path: in training the consumer
+            # thread is busy dispatching the previous step, and a put issued
+            # there serializes against that dispatch — issuing it from the
+            # producer overlaps the transfer with the in-flight step.
             from collections import deque
 
             gen = self._index_batches()
             futs: deque = deque()
             try:
-                while len(futs) < self.num_workers:
-                    futs.append(submit(*next(gen)))
-            except StopIteration:
-                gen = None
-            while futs:
-                batch = futs.popleft().result()
-                if gen is not None:
-                    try:
+                try:
+                    while len(futs) < self.num_workers:
                         futs.append(submit(*next(gen)))
-                    except StopIteration:
-                        gen = None
-                if not packed and self.sharding is not None:
-                    batch = jax.tree_util.tree_map(place, batch)
-                out_q.put(batch)
-            out_q.put(sentinel)
+                except StopIteration:
+                    gen = None
+                while futs:
+                    batch = futs.popleft().result()
+                    if gen is not None:
+                        try:
+                            futs.append(submit(*next(gen)))
+                        except StopIteration:
+                            gen = None
+                    if packed:
+                        buf, metas = batch
+                        if self.sharding is not None:
+                            buf = jax.device_put(buf, self.sharding)
+                        batch = (buf, metas)
+                    elif self.sharding is not None:
+                        batch = jax.tree_util.tree_map(place, batch)
+                    out_q.put(batch)
+            except BaseException as exc:  # worker crash, BrokenProcessPool,
+                # unpicklable sample...: surface it in the consumer instead
+                # of hanging training forever on out_q.get()
+                out_q.put(exc)
+            finally:
+                out_q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -297,15 +313,11 @@ class DataLoader:
             item = out_q.get()
             if item is sentinel:
                 break
-            if packed:
-                buf, metas = item
-                if self.sharding is not None:
-                    buf = jax.device_put(buf, self.sharding)
-                item = (
-                    (buf, metas)
-                    if self.transfer == "packed_device"
-                    else unpack_batch(buf, metas)
-                )
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
+            if packed and self.transfer != "packed_device":
+                item = unpack_batch(*item)
             yield item
         t.join()
 

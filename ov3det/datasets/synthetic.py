@@ -143,3 +143,33 @@ class SyntheticDataset:
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         return make_scene(rng, scan_idx=idx, **self.scene_kwargs)
+
+
+class SyntheticOVDataset(SyntheticDataset):
+    """Synthetic SUN RGB-D-like scenes + image/calibration fields, matching
+    the open-vocab training batch schema (reference datasets/sunrgbd.py:
+    275-285): a fixed 530x730 uint8 canvas (image synthesis stands in for
+    jpg decode + canvas padding, so host cost and H2D volume are realistic)
+    plus per-sample Rtilt/K calibration."""
+
+    IMG_H, IMG_W = 530, 730  # SUN RGB-D max canvas (reference sunrgbd.py:47)
+
+    _RTILT = np.array(
+        [[0.999, 0.02, -0.04], [-0.02, 0.999, 0.01], [0.04, -0.01, 0.999]],
+        np.float32,
+    )
+    _K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
+
+    def __getitem__(self, idx: int) -> dict:
+        d = super().__getitem__(idx)
+        rng = np.random.default_rng(self.seed * 7919 + idx)
+        # uint8 end-to-end: 4x less H2D than a float canvas; the teacher
+        # normalizes (and so promotes) on device
+        d["image"] = rng.integers(
+            0, 256, size=(self.IMG_H, self.IMG_W, 3)
+        ).astype(np.uint8)
+        d["image_height"] = np.int32(self.IMG_H)
+        d["image_width"] = np.int32(self.IMG_W)
+        d["calib_Rtilt"] = self._RTILT
+        d["calib_K"] = self._K
+        return d

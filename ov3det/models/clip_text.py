@@ -62,17 +62,17 @@ class CLIPTextEncoder(nn.Module):
         x = tok[token_ids] + pos[None, :T]
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
         for i in range(self.layers):
-            y = nn.LayerNorm(name=f"ln1_{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, qkv_features=self.width, name=f"attn_{i}"
             )(y, y, y, mask=causal)
             x = x + y
-            y = nn.LayerNorm(name=f"ln2_{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")(x)
             y = nn.Dense(self.width * 4, name=f"mlp_fc_{i}")(y)
             y = y * jax.nn.sigmoid(1.702 * y)  # QuickGELU
             y = nn.Dense(self.width, name=f"mlp_proj_{i}")(y)
             x = x + y
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # pool at the EOT token (highest token id in CLIP's vocab)
         eot = jnp.argmax(token_ids, axis=-1)
         pooled = x[jnp.arange(B), eot]

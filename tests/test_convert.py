@@ -237,3 +237,76 @@ class TestFullTreeShapes:
             inputs, train=False,
         )
         assert np.isfinite(np.asarray(out["box_corners"])).all()
+
+
+class TestCLIPTextConversion:
+    def test_text_tower_matches_torch_oracle(self, tmp_path):
+        """Converted-checkpoint parity for the CLIP text encoder against a
+        live torch oracle built exactly like the public CLIP text tower
+        (reference 3DOVDet_tools/extract_class_features.py consumes that
+        tower's encode_text): nn.MultiheadAttention resblocks with causal
+        mask, LayerNorm eps 1e-5, QuickGELU, EOT pooling @ text_projection.
+        Guards the systematic-epsilon class of bug (flax default 1e-6)."""
+        from ov3det.models.clip_text import CLIPTextEncoder, convert_text_checkpoint
+
+        torch.manual_seed(7)
+        vocab, ctx, width, layers, embed = 100, 16, 64, 2, 32
+        heads = width // 64  # converter's head-count rule
+
+        class QuickGELU(nn.Module):
+            def forward(self, x):
+                return x * torch.sigmoid(1.702 * x)
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.attn = nn.MultiheadAttention(width, heads)
+                self.ln_1 = nn.LayerNorm(width)
+                self.mlp = nn.Sequential()
+                self.mlp.add_module("c_fc", nn.Linear(width, width * 4))
+                self.mlp.add_module("gelu", QuickGELU())
+                self.mlp.add_module("c_proj", nn.Linear(width * 4, width))
+                self.ln_2 = nn.LayerNorm(width)
+
+            def forward(self, x, mask):
+                y = self.ln_1(x)
+                x = x + self.attn(y, y, y, need_weights=False, attn_mask=mask)[0]
+                return x + self.mlp(self.ln_2(x))
+
+        class Oracle(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.token_embedding = nn.Embedding(vocab, width)
+                self.positional_embedding = nn.Parameter(torch.randn(ctx, width) * 0.01)
+                self.transformer = nn.Module()
+                self.transformer.resblocks = nn.ModuleList(
+                    [Block() for _ in range(layers)]
+                )
+                self.ln_final = nn.LayerNorm(width)
+                self.text_projection = nn.Parameter(torch.randn(width, embed) * width**-0.5)
+
+            def forward(self, ids):
+                x = self.token_embedding(ids) + self.positional_embedding
+                mask = torch.full((ctx, ctx), float("-inf")).triu(1)
+                x = x.permute(1, 0, 2)  # torch MHA default: (T, B, C)
+                for blk in self.transformer.resblocks:
+                    x = blk(x, mask)
+                x = self.ln_final(x.permute(1, 0, 2))
+                pooled = x[torch.arange(x.shape[0]), ids.argmax(dim=-1)]
+                return pooled @ self.text_projection
+
+        oracle = Oracle().eval()
+        ids = torch.randint(1, vocab - 1, (3, ctx))
+        ids[:, 0] = vocab - 2
+        ids[:, 5:] = 0
+        ids[:, 4] = vocab - 1  # EOT = highest id, argmax-pooled
+        with torch.no_grad():
+            want = oracle(ids).numpy()
+
+        path = tmp_path / "text.pth"
+        torch.save(oracle.state_dict(), str(path))
+        variables = convert_text_checkpoint(str(path), layers=layers)
+        enc = CLIPTextEncoder(vocab_size=vocab, context_length=ctx, width=width,
+                              heads=heads, layers=layers, embed_dim=embed)
+        got = enc.apply(variables, jnp.asarray(ids.numpy(), jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

@@ -66,6 +66,42 @@ class TestPadAndMask:
             assert valid_count(b) == 4
 
 
+class _PoisonDataset:
+    """Raises on one sample — simulates a bad scene / broken worker."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("poisoned sample 5")
+        return {"x": np.full((4,), float(i), np.float32)}
+
+
+class TestWorkerErrorPropagation:
+    """A worker exception must surface in the consumer, not hang training
+    forever on out_q.get() (the producer used to die before enqueueing the
+    sentinel)."""
+
+    def test_thread_worker_exception_reraised(self):
+        import pytest
+
+        loader = DataLoader(_PoisonDataset(), batch_size=4, num_workers=2)
+        with pytest.raises(ValueError, match="poisoned sample 5"):
+            list(loader)
+
+    def test_process_worker_exception_reraised(self):
+        import pytest
+
+        loader = DataLoader(_PoisonDataset(), batch_size=4, num_workers=2,
+                            worker_type="process")
+        try:
+            with pytest.raises(ValueError, match="poisoned sample 5"):
+                list(loader)
+        finally:
+            loader.shutdown()
+
+
 class TestMultiHostLoading:
     """Multi-host data-parallel loading (reference DistributedSampler
     semantics, main.py:445-446): every process derives the same global
@@ -141,6 +177,24 @@ class TestPackedTransfer:
                                       batch["bool"].astype(np.uint8))
         np.testing.assert_allclose(np.asarray(out["f64"]),
                                    batch["f64"].astype(np.float32))
+
+    def test_packed_device_put_happens_on_producer_thread(self):
+        """packed_device items arrive as already-committed device arrays:
+        the H2D put runs on the producer thread (overlapping the in-flight
+        step), never on the consumer's critical path."""
+        import jax
+
+        from ov3det.datasets import SyntheticDataset
+        from ov3det.datasets.loader import DataLoader
+
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        ds = SyntheticDataset(size=8, num_points=64)
+        loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                            sharding=sharding, transfer="packed_device")
+        for buf, metas in loader:
+            assert isinstance(buf, jax.Array)
+            assert buf.sharding.is_equivalent_to(sharding, buf.ndim)
+            assert isinstance(metas, tuple)
 
     def test_loader_packed_equals_tree(self):
         import jax
