@@ -131,7 +131,9 @@ def _quad_intersection_area(subject: jnp.ndarray, clip: jnp.ndarray) -> jnp.ndar
 _BIG = 1e9
 
 
-def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray:
+def _edge_clip_cross_sum(
+    subject: jnp.ndarray, rect: jnp.ndarray, dedup: bool = False
+) -> jnp.ndarray:
     """Green's-theorem contribution of subject edges clipped to a rectangle.
 
     subject: (P, 4, 2) ccw quad whose edges are clipped; rect: (P, 4, 2) ccw
@@ -139,6 +141,15 @@ def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray
     clipping in rect's local frame yields the sub-segment inside rect; the
     returned (P,) value is sum_e cross(q0_e, q1_e) over those sub-segments,
     with endpoints evaluated in the caller's (common) coordinate frame.
+
+    dedup: a subject edge that lies ON rect's boundary traversed in the
+    SAME direction as rect's own edge on that line (interiors on the same
+    side — e.g. two boxes sharing part of a face) is emitted by BOTH of the
+    symmetric _edge_clip_cross_sum calls; with dedup=True this call
+    subtracts its own copy of every such segment, so across the pair of
+    calls (dedup on exactly one) each is counted exactly once.  Opposite-
+    direction coincident edges (boxes merely touching) are left alone: the
+    two copies cancel by sign.
     """
     # rect local frame: origin c0, orthonormal axes u, v; slabs [0,|U|]x[0,|V|]
     c0 = rect[:, 0, :]
@@ -156,8 +167,11 @@ def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray
     def loc(p, axis):  # project into the slab axis
         return jnp.sum((p - c0[:, None, :]) * axis[:, None, :], -1)
 
+    PAR_EPS = 1e-5
+
     def slab_interval(p0k, dk, hi):
-        """Entry/exit params of the segment for one slab [0, hi].
+        """Entry/exit params of the segment for one slab [0, hi], plus
+        on-lower/on-upper flags for boundary-collinear parallel edges.
 
         PAR_EPS is sized for f32 dot-product rounding (~1e-6 at room
         scale): an edge whose projected direction moves < 1e-5 across the
@@ -165,10 +179,10 @@ def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray
         tight 1e-8 guard would instead divide rounding noise into garbage
         t-values for exactly-collinear (identical-rect) boundaries.  The
         matching boundary tolerance keeps such edges from dropping out;
-        same-direction double counts are absorbed exactly by the min-area
-        cap below, opposite-direction (touching) overlaps cancel by sign.
+        the same-direction double counts they cause are removed exactly by
+        the dedup subtraction below, opposite-direction (touching)
+        overlaps cancel by sign.
         """
-        PAR_EPS = 1e-5
         parallel = jnp.abs(dk) < PAR_EPS
         safe = jnp.where(parallel, PAR_EPS, dk)
         t1 = (0.0 - p0k) / safe
@@ -178,10 +192,14 @@ def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray
         par_in = (p0k >= -PAR_EPS) & (p0k <= hi[:, None] + PAR_EPS)
         tmin = jnp.where(parallel, jnp.where(par_in, -_BIG, _BIG), tmin)
         tmax = jnp.where(parallel, jnp.where(par_in, _BIG, -_BIG), tmax)
-        return tmin, tmax
+        on_lo = parallel & (jnp.abs(p0k) <= PAR_EPS)
+        on_hi = parallel & (jnp.abs(p0k - hi[:, None]) <= PAR_EPS)
+        return tmin, tmax, on_lo, on_hi
 
-    amin, amax = slab_interval(loc(p0, u), loc(p1, u) - loc(p0, u), lu)
-    bmin, bmax = slab_interval(loc(p0, v), loc(p1, v) - loc(p0, v), lv)
+    pu0 = loc(p0, u)
+    pv0 = loc(p0, v)
+    amin, amax, au_lo, au_hi = slab_interval(pu0, loc(p1, u) - pu0, lu)
+    bmin, bmax, bv_lo, bv_hi = slab_interval(pv0, loc(p1, v) - pv0, lv)
     t0 = jnp.clip(jnp.maximum(amin, bmin), 0.0, 1.0)
     t1 = jnp.clip(jnp.minimum(amax, bmax), 0.0, 1.0)
     live = t1 > t0  # (P, 4)
@@ -189,7 +207,21 @@ def _edge_clip_cross_sum(subject: jnp.ndarray, rect: jnp.ndarray) -> jnp.ndarray
     q0 = p0 + t0[..., None] * d
     q1 = p0 + t1[..., None] * d
     cross = q0[..., 0] * q1[..., 1] - q0[..., 1] * q1[..., 0]
-    return jnp.sum(jnp.where(live, cross, 0.0), axis=1)
+    total = jnp.sum(jnp.where(live, cross, 0.0), axis=1)
+    if dedup:
+        # same-direction test: subject interior is LEFT of d (ccw); rect
+        # interior is on the +axis side of a lower slab boundary and the
+        # -axis side of an upper one.  left(d).axis == cross2(d, axis).
+        cdu = d[..., 0] * u[:, None, 1] - d[..., 1] * u[:, None, 0]
+        cdv = d[..., 0] * v[:, None, 1] - d[..., 1] * v[:, None, 0]
+        dup = (
+            (au_lo & (cdu > 0))
+            | (au_hi & (cdu < 0))
+            | (bv_lo & (cdv > 0))
+            | (bv_hi & (cdv < 0))
+        )
+        total = total - jnp.sum(jnp.where(live & dup, cross, 0.0), axis=1)
+    return total
 
 
 def _rect_intersection_area_batched(rect1: jnp.ndarray, rect2: jnp.ndarray) -> jnp.ndarray:
@@ -210,18 +242,22 @@ def _rect_intersection_area_batched(rect1: jnp.ndarray, rect2: jnp.ndarray) -> j
     center = 0.125 * (jnp.sum(rect1, axis=1) + jnp.sum(rect2, axis=1))
     r1 = rect1 - center[:, None, :]
     r2 = rect2 - center[:, None, :]
-    s = _edge_clip_cross_sum(r1, r2) + _edge_clip_cross_sum(r2, r1)
+    # dedup on exactly ONE of the symmetric calls: shared-face segments
+    # (same-direction collinear boundaries — identical rects, a contained
+    # rect sharing part of a face, side-by-side rects with flush tops) are
+    # emitted by both calls but must enter the loop integral once; see
+    # _edge_clip_cross_sum(dedup=...)
+    s = _edge_clip_cross_sum(r1, r2, dedup=True) + _edge_clip_cross_sum(r2, r1)
 
     def rect_area(r):
         U = r[:, 1, :] - r[:, 0, :]
         V = r[:, 3, :] - r[:, 0, :]
         return jnp.abs(U[:, 0] * V[:, 1] - U[:, 1] * V[:, 0])
 
-    # cap at min(area1, area2): exact everywhere it binds — IDENTICAL rects
-    # (collinear boundaries traversed in the same direction double-count to
-    # 2x area; opposite-direction shared edges of merely TOUCHING rects
-    # cancel exactly, so those need no cap) and degenerate zero-size rects
-    # (whose frame axes are ill-defined) both land on the cap.
+    # cap at min(area1, area2): with the dedup subtraction the loop integral
+    # is already exact for every shared-boundary configuration; the cap
+    # remains as a safety net for degenerate zero-size rects (whose local
+    # frame axes are ill-defined) and f32 rounding noise.
     return jnp.minimum(0.5 * jnp.abs(s), jnp.minimum(rect_area(r1), rect_area(r2)))
 
 

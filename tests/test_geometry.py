@@ -197,6 +197,78 @@ class TestGIoU:
         assert np.isfinite(np.asarray(grad)).all()
         assert np.abs(np.asarray(grad)).sum() > 0
 
+    def test_rect_intersection_shared_face_exact(self):
+        """Property test for the Green's-theorem rectangle clipper on
+        boundary-collinear configurations (shared faces, touching,
+        containment with a flush edge) — the same-direction double count
+        must be dedup'd exactly, not just capped at min(area): a
+        side-by-side pair with flush tops+bottoms used to report 3.0
+        instead of 2.0 (cap does not bind at min(area)=4)."""
+        from ov3det.geometry.iou import (
+            _quad_intersection_area_batched,
+            _rect_intersection_area_batched,
+        )
+
+        def aarect(x1, y1, x2, y2):
+            return np.array(
+                [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], np.float32
+            )
+
+        cases = [
+            # (rect1, rect2, exact intersection area)
+            (aarect(0, 0, 2, 2), aarect(1, 0, 3, 2), 2.0),  # flush top+bottom
+            (aarect(0, 0, 4, 4), aarect(1, 0, 3, 2), 4.0),  # contained, shared bottom
+            (aarect(0, 0, 4, 4), aarect(1, 2, 3, 4), 4.0),  # contained, shared top
+            (aarect(0, 0, 2, 2), aarect(0, 0, 2, 2), 4.0),  # identical
+            (aarect(0, 0, 2, 2), aarect(2, 0, 5, 2), 0.0),  # touching edge
+            (aarect(0, 0, 2, 2), aarect(2, 2, 4, 4), 0.0),  # touching corner
+            (aarect(0, 0, 2, 2), aarect(0, 0, 1, 1), 1.0),  # shared corner, contained
+            (aarect(0, 0, 3, 1), aarect(1, 0, 2, 1), 1.0),  # full-height strip inside
+        ]
+        r1 = np.stack([c[0] for c in cases])
+        r2 = np.stack([c[1] for c in cases])
+        want = np.array([c[2] for c in cases], np.float32)
+        got = np.asarray(_rect_intersection_area_batched(jnp.asarray(r1), jnp.asarray(r2)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+        # symmetric in the arguments
+        got_T = np.asarray(_rect_intersection_area_batched(jnp.asarray(r2), jnp.asarray(r1)))
+        np.testing.assert_allclose(got_T, want, atol=1e-4)
+
+        # rotated shared-face pairs: rect2 = rect1 shifted ALONG its own
+        # edge direction (keeps two boundary lines collinear), at random
+        # angles; exact area is analytic (overlap of the shifted extents)
+        rng = np.random.default_rng(11)
+        N = 64
+        ang = rng.uniform(0, 2 * np.pi, N).astype(np.float32)
+        w = rng.uniform(0.5, 3.0, N).astype(np.float32)
+        h = rng.uniform(0.5, 3.0, N).astype(np.float32)
+        shift = rng.uniform(-1.2, 1.2, N).astype(np.float32) * w
+        ca, sa = np.cos(ang), np.sin(ang)
+        R = np.stack([np.stack([ca, -sa], -1), np.stack([sa, ca], -1)], -2)
+        base = np.stack(
+            [np.stack([-w / 2, -h / 2], -1), np.stack([w / 2, -h / 2], -1),
+             np.stack([w / 2, h / 2], -1), np.stack([-w / 2, h / 2], -1)], 1
+        )
+        r1r = np.einsum("nij,nkj->nki", R, base).astype(np.float32)
+        off = np.einsum("nij,nj->ni", R, np.stack([shift, np.zeros(N, np.float32)], -1))
+        r2r = (r1r + off[:, None, :]).astype(np.float32)
+        want_r = np.maximum(w - np.abs(shift), 0.0) * h
+        got_r = np.asarray(_rect_intersection_area_batched(jnp.asarray(r1r), jnp.asarray(r2r)))
+        np.testing.assert_allclose(got_r, want_r, rtol=1e-3, atol=1e-3)
+
+        # generic (non-collinear) random pairs must still agree with the
+        # retained Sutherland-Hodgman path
+        g1 = np.einsum("nij,nkj->nki", R, base) + rng.uniform(-1, 1, (N, 1, 2))
+        ang2 = rng.uniform(0, 2 * np.pi, N).astype(np.float32)
+        ca2, sa2 = np.cos(ang2), np.sin(ang2)
+        R2 = np.stack([np.stack([ca2, -sa2], -1), np.stack([sa2, ca2], -1)], -2)
+        g2 = np.einsum("nij,nkj->nki", R2, base) + rng.uniform(-1, 1, (N, 1, 2))
+        g1 = g1.astype(np.float32)
+        g2 = g2.astype(np.float32)
+        got_g = np.asarray(_rect_intersection_area_batched(jnp.asarray(g1), jnp.asarray(g2)))
+        want_g = np.asarray(_quad_intersection_area_batched(jnp.asarray(g1), jnp.asarray(g2)))
+        np.testing.assert_allclose(got_g, want_g, rtol=1e-3, atol=1e-3)
+
     def test_pairwise_exact_iou(self):
         rng = np.random.default_rng(10)
         c1 = corners_np(*random_boxes(rng, 1, 6))[0]
