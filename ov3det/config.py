@@ -145,6 +145,10 @@ class DataConfig:
     num_points: int = 40000
     use_color: bool = False
     use_image: bool = False
+    # ScanNet multi-frame image loading (reference datasets/scannet.py:276-285
+    # hardcodes SCANNET_FRAMES_ROOT; here the frames tree is a config path)
+    frames_dir: Optional[str] = None
+    max_frames: int = 64
     use_pbox: bool = False
     use_2d_feature: bool = False
     num_workers: int = 4
@@ -187,6 +191,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_steps: int = 5
     debug_nans: bool = False
+    # compute the (teacher-free) criterion during in-training evals and log
+    # Test_details/ losses like the reference (engine.py:198-206, 226-229)
+    eval_loss: bool = False
 
 
 def replace(cfg, **kw):

@@ -55,6 +55,9 @@ def build_dataset(cfg: DataConfig, splits=("train", "test")):
                 feature_2d_dir=cfg.feature_2d_dir,
                 num_points=cfg.num_points,
                 use_color=cfg.use_color,
+                use_image=cfg.use_image,
+                frames_dir=cfg.frames_dir,
+                max_frames=cfg.max_frames,
                 augment=augment,
                 use_pbox=cfg.use_pbox,
                 use_2d_feature=cfg.use_2d_feature,

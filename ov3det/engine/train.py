@@ -166,7 +166,18 @@ def make_packed_step(train_step):
     return packed_step
 
 
-def make_eval_step(model: Model3DETR):
+def make_eval_step(
+    model: Model3DETR,
+    loss_cfg: Optional[LossConfig] = None,
+    num_angle_bin: int = 1,
+    num_semcls: int = 18,
+):
+    """Jitted eval forward.  With loss_cfg the step ALSO computes the
+    criterion (teacher-free: the distillation term needs the frozen 2D
+    teacher and is a train-only signal) and returns (outputs, loss_dict) —
+    the reference's evaluate computes the loss whenever a criterion is
+    passed and logs it under Test_details/ (engine.py:198-206, 226-229)."""
+
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
         inputs = {
@@ -184,7 +195,17 @@ def make_eval_step(model: Model3DETR):
             train=False,
         )
         # final decoder layer only — what evaluation consumes
-        return {k: (v[-1] if k != "query_xyz" else v) for k, v in outputs.items()}
+        final = {k: (v[-1] if k != "query_xyz" else v) for k, v in outputs.items()}
+        if loss_cfg is None:
+            return final
+        _, loss_dict = set_criterion(
+            outputs,
+            batch,
+            loss_cfg,
+            num_angle_bin=num_angle_bin,
+            num_semcls=num_semcls,
+        )
+        return final, loss_dict
 
     return eval_step
 
@@ -198,6 +219,7 @@ def build_training(
     text_embed=None,
     teacher_fn=None,
     teacher_vars=None,
+    eval_loss: bool = False,
 ):
     """Wire schedule + optimizer + state + steps from a TrainConfig."""
     schedule = make_lr_schedule(cfg.optim, cfg.max_epoch, iters_per_epoch)
@@ -213,5 +235,10 @@ def build_training(
         num_semcls=cfg.model.num_semcls,
         teacher_fn=teacher_fn,
     )
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(
+        model,
+        loss_cfg=cfg.loss if eval_loss else None,
+        num_angle_bin=cfg.model.num_angle_bin,
+        num_semcls=cfg.model.num_semcls,
+    )
     return state, train_step, eval_step, schedule

@@ -80,6 +80,13 @@ def run_inference(cfg, args) -> LabelFormatter:
 def main(argv=None):
     args = make_pseudo_label_parser().parse_args(argv)
     cfg = config_from_args(args)
+    try:  # persistent compile cache (see ov3det/main.py)
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     assert args.out_dir, "set --out_dir"
     os.makedirs(args.out_dir, exist_ok=True)
     formatter = run_inference(cfg, args)

@@ -115,6 +115,11 @@ def make_args_parser():
                    "no training path consumes them (faithful to the "
                    "reference, which also loads and drops them)")
     p.add_argument("--use_image", default=False, action="store_true")
+    p.add_argument("--frames_dir", type=str, default=None,
+                   help="ScanNet frames tree (color/depth/pose per scan) for "
+                   "--use_image; the reference hardcodes this path "
+                   "(datasets/scannet.py:28)")
+    p.add_argument("--max_frames", default=64, type=int)
     # Training (reference main.py:178-196)
     p.add_argument("--start_epoch", default=-1, type=int)
     p.add_argument("--max_epoch", default=720, type=int)
@@ -132,6 +137,10 @@ def make_args_parser():
                    help="write a jax.profiler trace of the first "
                    "--profile_steps train iterations here (TensorBoard/xprof)")
     p.add_argument("--profile_steps", default=5, type=int)
+    p.add_argument("--eval_loss", default=False, action="store_true",
+                   help="compute the (teacher-free) criterion during "
+                   "in-training evals and log Test_details/ losses "
+                   "(reference engine.py:198-206)")
     p.add_argument("--debug_nans", default=False, action="store_true",
                    help="enable jax_debug_nans (per-op NaN tracebacks; the "
                    "reference's anomaly-mode equivalent, slows every step)")
@@ -210,6 +219,8 @@ def config_from_args(args) -> TrainConfig:
             num_points=num_points,
             use_color=args.use_color,
             use_image=args.use_image,
+            frames_dir=args.frames_dir,
+            max_frames=args.max_frames,
             use_pbox=args.use_pbox,
             use_2d_feature=args.use_2d_feature,
             num_workers=args.dataset_num_workers,
@@ -231,6 +242,7 @@ def config_from_args(args) -> TrainConfig:
         profile_dir=args.profile_dir,
         profile_steps=args.profile_steps,
         debug_nans=args.debug_nans,
+        eval_loss=args.eval_loss,
     )
 
 
@@ -273,7 +285,7 @@ def build_teacher_fn(cfg, example_batch):
 
 
 def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
-             eval_processes: int = 0):
+             eval_processes: int = 0, logger=None, curr_iter=0):
     # eval_processes=0: the vectorized per-scan IoU makes the per-class AP
     # loop fast enough single-process; a >0 value fans out like the
     # reference's Pool(10) (utils/eval_det.py:253) but forks a JAX process.
@@ -284,17 +296,44 @@ def evaluate(cfg, eval_step, state, loader, dataset_config, exact=True,
         exact_eval=exact,
         eval_processes=eval_processes,
     )
+    loss_meter = SmoothedValue(10)
+    last_loss_dict = None
     for batch in loader:
         outputs = eval_step(state, batch)
+        if isinstance(outputs, tuple):  # --eval_loss: (outputs, loss_dict)
+            outputs, last_loss_dict = outputs
+            loss_meter.update(float(last_loss_dict["loss"]))
         # partial final batch: loader padded it to the fixed jit shape by
         # repeating the last sample — strip the pad so each scan scores once
         # (reference torch DataLoader keeps the partial batch itself)
         n = valid_count(batch)
         ap.step_meter(slice_valid(outputs, n), slice_valid(batch, n))
+    if logger is not None and last_loss_dict is not None:
+        # reference logs the last batch's loss breakdown under Test_details/
+        # and the smoothed total under Test/ (engine.py:226-229)
+        logger.log_scalars(
+            {k: float(v) for k, v in last_loss_dict.items()},
+            curr_iter, prefix="Test_details/",
+        )
+        logger.log_scalars({"loss": loss_meter.avg}, curr_iter, prefix="Test/")
     return ap
 
 
 def do_train(cfg: TrainConfig, args=None):
+    # multi-host sanity: a SingleDeviceSharding is never a valid global
+    # sharding for jax.make_array_from_process_local_data, so a multi-process
+    # run must shard over >= process_count devices (and evenly, so each host
+    # owns a whole slice) — fail here with a clear message instead of deep
+    # inside the loader
+    if jax.process_count() > 1 and (
+        cfg.num_devices < jax.process_count()
+        or cfg.num_devices % jax.process_count() != 0
+    ):
+        raise ValueError(
+            f"multi-host run with {jax.process_count()} processes needs "
+            f"num_devices (--ngpus) to be a positive multiple of the process "
+            f"count, got {cfg.num_devices}"
+        )
     mesh = make_mesh(cfg.num_devices) if cfg.num_devices > 1 else None
     # single-device: packed single-buffer transfer (one H2D put + on-device
     # unpack per batch — per-array puts contend with in-flight step
@@ -349,6 +388,7 @@ def do_train(cfg: TrainConfig, args=None):
         text_embed=text_embed,
         teacher_fn=teacher_fn,
         teacher_vars=teacher_vars,
+        eval_loss=cfg.eval_loss,
     )
     if mesh:
         state = replicate(state, mesh)
@@ -419,6 +459,8 @@ def do_train(cfg: TrainConfig, args=None):
             if curr_iter % cfg.log_metrics_every == 0:
                 batch = DataLoader.unpack(item)
                 outputs = eval_step(state, batch)
+                if isinstance(outputs, tuple):  # --eval_loss variant
+                    outputs = outputs[0]
                 train_ap.step_meter(outputs, batch)
             if curr_iter % cfg.log_every == 0:
                 loss = float(metrics["loss"])  # host sync, amortized
@@ -465,7 +507,8 @@ def do_train(cfg: TrainConfig, args=None):
         )
 
         if epoch % cfg.eval_every_epoch == 0 or epoch == cfg.max_epoch - 1:
-            ap = evaluate(cfg, eval_step, state, test_loader, dataset_config)
+            ap = evaluate(cfg, eval_step, state, test_loader, dataset_config,
+                          logger=logger, curr_iter=epoch * iters_per_epoch)
             m = ap.compute_metrics()
             ap25 = m[0.25]["mAP"]
             print(f"Evaluate Epoch [{epoch}/{cfg.max_epoch}]")
@@ -531,6 +574,15 @@ def test_model(cfg: TrainConfig, test_ckpt: str | None = None):
 def main(argv=None):
     args = make_args_parser().parse_args(argv)
     cfg = config_from_args(args)
+    # persistent compilation cache: a fresh process re-running the same
+    # config skips the (minutes-long on a remote-tunnel TPU) XLA compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     np.random.seed(cfg.seed)
     if cfg.debug_nans:
         # per-op NaN tracebacks (SURVEY §5.2: the opt-in equivalent of the

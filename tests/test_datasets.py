@@ -151,3 +151,48 @@ class TestScannetLoader:
         assert np.isfinite(item["point_clouds"]).all()
         # colors normalized to ~[-0.5, 0.6]
         assert np.abs(item["point_clouds"][:, 3:]).max() < 1.0
+
+    def test_use_image_via_registry(self, scannet_tree):
+        """--use_image on ScanNet must flow CLI -> DataConfig -> registry ->
+        dataset (reference datasets/scannet.py:276-285 loads frames from a
+        hardcoded root; here frames_dir is config) and yield fixed-shape
+        images/depths/poses/frame_mask fields."""
+        from PIL import Image
+
+        from ov3det.config import DataConfig
+        from ov3det.datasets.registry import build_dataset
+
+        frames = scannet_tree / "frames_square"
+        rng = np.random.default_rng(3)
+        for name in ("scene0000_00", "scene0001_00"):
+            for sub in ("color", "depth", "pose"):
+                (frames / name / sub).mkdir(parents=True)
+            for fid in range(2):
+                img = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+                Image.fromarray(img).save(frames / name / "color" / f"{fid}.jpg")
+                depth = rng.integers(0, 5000, size=(48, 64)).astype(np.int32)
+                Image.fromarray(depth, mode="I").save(
+                    frames / name / "depth" / f"{fid}.png"
+                )
+                pose = np.eye(4) + rng.normal(0, 0.01, (4, 4))
+                np.savetxt(frames / name / "pose" / f"{fid}.txt", pose)
+
+        cfg = DataConfig(
+            dataset_name="scannet",
+            root_dir=str(scannet_tree / "scannet_train_detection_data"),
+            meta_data_dir=str(scannet_tree / "meta_data"),
+            num_points=2048,
+            use_image=True,
+            frames_dir=str(frames),
+            max_frames=4,
+        )
+        datasets, _ = build_dataset(cfg, splits=("train",))
+        item = datasets["train"][0]
+        assert item["images"].shape == (4, 3, 256, 328)
+        assert item["depths"].shape == (4, 32, 41)
+        assert item["poses"].shape == (4, 4, 4)
+        np.testing.assert_array_equal(item["frame_mask"], [1, 1, 0, 0])
+        assert np.isfinite(item["images"]).all()
+        # padded frames are zero, padded poses identity
+        assert item["images"][2:].sum() == 0
+        np.testing.assert_array_equal(item["poses"][2], np.eye(4))

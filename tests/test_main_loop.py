@@ -29,6 +29,7 @@ def test_train_loop_synthetic(tmp_path):
         "--loss_giou_weight", "1",
         "--log_every", "5",
         "--log_metrics_every", "10",
+        "--eval_loss",
     ]
     args = make_args_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -46,6 +47,17 @@ def test_train_loop_synthetic(tmp_path):
     assert os.path.isfile(os.path.join(run, "scalars.jsonl"))
     content = open(os.path.join(run, "final_eval.txt")).read()
     assert "mAP0.25" in content
+    # --eval_loss: in-training evals log the criterion breakdown under
+    # Test_details/ and the smoothed total under Test/loss (reference
+    # engine.py:226-229 schema)
+    import json
+
+    scalars = [json.loads(line)
+               for line in open(os.path.join(run, "scalars.jsonl"))]
+    keys = {k for s in scalars for k in s}
+    assert any(k.startswith("Test_details/loss_giou") for k in keys), keys
+    assert any(k.startswith("Test_details/loss_sem_cls") for k in keys), keys
+    assert "Test/loss" in keys
 
     # idempotent re-run guard (reference main.py:226-231)
     do_train(cfg)
