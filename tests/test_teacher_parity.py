@@ -218,3 +218,77 @@ class TestBfloat16Teacher:
         cos = (a * b).sum(-1) / (
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-8)
         assert (cos > 0.99).all(), cos
+
+
+class TestFullWidthTeacher:
+    """Parity at TRUE RN50x4 channel widths (width 80: 1280-ch res4,
+    2560-ch res5/attnpool).  The tiny-tower tests above verify the
+    converter paths; this one verifies the numerics where bf16
+    accumulation error is largest — the 2560-wide dot products of the RoI
+    head.  One block per stage and a small canvas keep CPU runtime sane
+    (channel width, not depth/spatial, is what accumulation error scales
+    with)."""
+
+    @pytest.fixture(scope="class")
+    def wide_tower(self, tmp_path_factory):
+        torch.manual_seed(17)
+        net = CLIPModifiedResNet(
+            layers=(1, 1, 1, 1), output_dim=640, width=80, image_resolution=96
+        )
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.6)
+        net.eval()
+        path = tmp_path_factory.mktemp("ckpt") / "regionclip_w80.pth"
+        sd = {f"backbone.visual.{k}": v for k, v in net.state_dict().items()}
+        torch.save({"model": sd}, path)
+        variables = convert_torch_checkpoint(str(path), layers=(1, 1, 1, 1))
+        return net, variables
+
+    def _region_features(self, net, images, boxes, pooler):
+        B, Q = boxes.shape[:2]
+        norm = (images - _PIXEL_MEAN) / _PIXEL_STD
+        with torch.no_grad():
+            res4 = net.forward_res4(torch.from_numpy(norm.transpose(0, 3, 1, 2)))
+        pooled = roi_align_oracle(
+            res4.numpy().transpose(0, 2, 3, 1),
+            boxes.reshape(B * Q, 4),
+            np.repeat(np.arange(B), Q),
+            1.0 / 16.0,
+            pooler,
+        )
+        with torch.no_grad():
+            return net.forward_res5(
+                torch.from_numpy(pooled.transpose(0, 3, 1, 2))
+            ).numpy()
+
+    def test_f32_and_bf16_match_torch_at_width_80(self, wide_tower):
+        net, variables = wide_tower
+        rng = np.random.default_rng(18)
+        B, Q = 1, 4
+        images = rng.uniform(0, 255, size=(B, 64, 96, 3)).astype(np.float32)
+        x1 = rng.uniform(0, 50, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 30, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(8, 40, (B, Q)),
+             y1 + rng.uniform(8, 30, (B, Q))], axis=-1).astype(np.float32)
+        want = self._region_features(net, images, boxes, pooler=6)
+
+        kw = dict(width=80, layers=(1, 1, 1, 1), embed_dim=640,
+                  pooler_resolution=6, pooler_scale=1.0 / 16.0,
+                  image_resolution=96)
+        f32 = np.asarray(RegionCLIPTeacher(**kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640)
+        np.testing.assert_allclose(f32, want, atol=2e-3)
+
+        bf16 = np.asarray(RegionCLIPTeacher(compute_dtype="bfloat16", **kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640).astype(np.float32)
+        cos = (bf16 * want).sum(-1) / (
+            np.linalg.norm(bf16, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-8
+        )
+        # the distillation loss consumes cosine alignment; bf16 at full
+        # width must stay directionally faithful to the torch oracle
+        assert (cos > 0.995).all(), cos
