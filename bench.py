@@ -60,9 +60,14 @@ BATCH = 8
 NUM_POINTS = 20000
 WARMUP = 5
 STEP_ITERS = 30
-E2E_ITERS = 20  # per window; median of 3 windows from ONE loader stream
+E2E_ITERS = 12  # ITEMS per window; median of 3 windows from ONE stream
+# super-batch group size: ONE H2D put + ONE scan dispatch per G batches.
+# On this transport every per-batch put serializes behind in-flight compute
+# (~a full step of wall time each); grouping amortizes that to 1/G.
+SUPER = 8
+OV_SUPER = 4
 OV_WARMUP = 2
-OV_ITERS = 8
+OV_ITERS = 4  # items/window at OV_SUPER batches each
 OV_PL_ITERS = 4
 IMG_H, IMG_W = SyntheticOVDataset.IMG_H, SyntheticOVDataset.IMG_W
 # TPU v5e peak dense bf16 matmul throughput (public spec) — MFU denominator
@@ -105,19 +110,26 @@ def time_loop(run_step, state, batches, warmup, rng0=0):
     return time.perf_counter() - t0, len(batches) - warmup
 
 
+def _last_loss(metrics) -> float:
+    """Materialize the (possibly (G,)-stacked) loss; forces all prior work."""
+    return float(np.asarray(metrics["loss"]).ravel()[-1])
+
+
 def time_loader_windows(run_step, state, loader, warmup, iters, windows,
-                        budget: Budget):
+                        budget: Budget, scenes_per_item: int = BATCH):
     """Overlapped loader + step timing: the honest e2e window includes the
     host data path and H2D, hidden behind the step exactly as in training.
     Takes `windows` consecutive measurement windows from ONE loader stream
     (one worker pool — reusing it avoids re-paying process spawn per rep)
     and returns (median rate, mean fetch ms, mean dispatch ms, windows_run).
-    Stops early if the budget runs out; the windows already taken stand."""
+    `iters` counts loader ITEMS; with super-batching each item carries
+    scenes_per_item = G * BATCH scenes.  Stops early if the budget runs
+    out; the windows already taken stand."""
     metrics = None
     it = iter(loader)
     for i in range(warmup):
         state, metrics = run_step(state, next(it), jax.random.PRNGKey(i))
-    float(metrics["loss"])
+    _last_loss(metrics)
     rates, fetch_ms, disp_ms = [], [], []
     for w in range(windows):
         t_f = t_d = 0.0
@@ -131,9 +143,9 @@ def time_loader_windows(run_step, state, loader, warmup, iters, windows,
             )
             t_f += tb - ta
             t_d += time.perf_counter() - tb
-        float(metrics["loss"])
+        _last_loss(metrics)
         dt = time.perf_counter() - t0
-        rates.append(BATCH * iters / dt)
+        rates.append(scenes_per_item * iters / dt)
         fetch_ms.append(t_f / iters * 1e3)
         disp_ms.append(t_d / iters * 1e3)
         if w + 1 < windows and not budget.allows(dt * 1.5):
@@ -164,12 +176,16 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
         rng=jax.random.PRNGKey(0), teacher_fn=teacher_fn,
         teacher_vars=teacher_vars,
     )
-    from ov3det.engine.train import make_packed_step
+    from ov3det.engine.train import make_packed_multi_step, make_packed_step
 
     packed_step = make_packed_step(train_step)
+    multi_step = make_packed_multi_step(train_step)
 
     def run_step(state, item, key):
         if isinstance(item, tuple):  # packed_device: unpack fused in-step
+            if item[0].ndim == 2:  # (G, nbytes) super-batch group
+                # metrics come back stacked (G,); callers reduce lazily
+                return multi_step(state, item[0], item[1], key)
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
 
@@ -189,11 +205,12 @@ def step_flops(train_step, state, batch) -> float:
         return 0.0
 
 
-def make_loader(ds):
+def make_loader(ds, super_batch=1):
     return DataLoader(
         ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
         sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
         worker_type="process", transfer="packed_device",
+        super_batch=super_batch,
     )
 
 
@@ -222,18 +239,20 @@ def bench_point(cfg, budget: Budget, extras: dict):
     # window inherits that noise wholesale.
     note("point e2e windows")
     ds = SyntheticDataset(
-        size=(WARMUP + 3 * E2E_ITERS) * BATCH, seed=3,
+        size=(WARMUP + 3 * E2E_ITERS) * SUPER * BATCH, seed=3,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
-    loader = make_loader(ds)
+    loader = make_loader(ds, super_batch=SUPER)
     e2e, f_ms, d_ms, nwin = time_loader_windows(
-        run_step, state, loader, WARMUP, E2E_ITERS, 3, budget
+        run_step, state, loader, WARMUP, E2E_ITERS, 3, budget,
+        scenes_per_item=SUPER * BATCH,
     )
     loader.shutdown()
     extras["e2e_windows"] = nwin
-    extras["e2e_fetch_ms_per_batch"] = round(f_ms, 1)
-    extras["e2e_dispatch_ms_per_batch"] = round(d_ms, 1)
+    extras["e2e_super_batch"] = SUPER
+    extras["e2e_fetch_ms_per_item"] = round(f_ms, 1)
+    extras["e2e_dispatch_ms_per_item"] = round(d_ms, 1)
     note(f"point e2e {e2e:.1f} scenes/s (fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
     return e2e
 
@@ -255,13 +274,14 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     state, run_step, _, _ = build(ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
     ds = SyntheticOVDataset(
-        size=(warmup + windows * iters) * BATCH, seed=5,
+        size=(warmup + windows * iters) * OV_SUPER * BATCH, seed=5,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
-    loader = make_loader(ds)
+    loader = make_loader(ds, super_batch=OV_SUPER)
     rate, f_ms, d_ms, _ = time_loader_windows(
-        run_step, state, loader, warmup, iters, windows, budget
+        run_step, state, loader, warmup, iters, windows, budget,
+        scenes_per_item=OV_SUPER * BATCH,
     )
     loader.shutdown()
     note(f"ov{'-per-layer' if per_layer else ''} {rate:.2f} scenes/s "
@@ -310,8 +330,9 @@ def main():
             )
             result["ov_scenes_per_sec"] = round(rate, 3)
             result["ov_vs_baseline"] = round(rate / REFERENCE_SCENES_PER_SEC, 3)
-            result["ov_fetch_ms_per_batch"] = round(f_ms, 1)
-            result["ov_dispatch_ms_per_batch"] = round(d_ms, 1)
+            result["ov_super_batch"] = OV_SUPER
+            result["ov_fetch_ms_per_item"] = round(f_ms, 1)
+            result["ov_dispatch_ms_per_item"] = round(d_ms, 1)
         except Exception as exc:  # pragma: no cover - keep the headline alive
             result["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
         emit(result)

@@ -154,6 +154,9 @@ class DataConfig:
     num_workers: int = 4
     batch_size_per_device: int = 8
     max_num_obj: int = 64
+    # group G batches into one H2D transfer + one scanned dispatch
+    # (single-device packed path only; see datasets/loader.py super_batch)
+    super_batch: int = 1
 
 
 @dataclass(frozen=True)

@@ -142,6 +142,7 @@ class DataLoader:
         global_assembly: bool = False,
         worker_type: str = "thread",
         transfer: str = "tree",
+        super_batch: int = 1,
     ):
         """batch_size is the GLOBAL batch; under multi-host each process
         fetches batch_size / process_count samples per step.  Without a
@@ -157,7 +158,16 @@ class DataLoader:
         yields (device_buffer, metas) — pair it with
         engine.make_packed_step so the unpack fuses into the train step
         (one dispatch per batch instead of two); call loader.unpack(item)
-        when the dict form is needed (metrics/eval)."""
+        when the dict form is needed (metrics/eval).
+
+        super_batch=G (packed_device only) groups G consecutive batches
+        into ONE (G, nbytes) device buffer: one H2D put and one dispatch
+        (engine.make_packed_multi_step scans the G sub-batches in a single
+        jitted program) per G batches.  On transports where host->device
+        transfers serialize behind in-flight compute (each put waits out
+        the current step while holding the client lock), per-batch puts
+        cost ~a full step of wall time each — grouping amortizes that to
+        1/G.  A final partial group is shipped with its true length."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -184,6 +194,11 @@ class DataLoader:
                 "packed transfer is single-host (key-major layout can't "
                 "shard batch-wise)"
             )
+        assert super_batch >= 1
+        assert super_batch == 1 or transfer == "packed_device", (
+            "super_batch grouping needs transfer='packed_device'"
+        )
+        self.super_batch = super_batch
         self.transfer = transfer
         self._pool = None
         assert batch_size % self.process_count == 0, (batch_size, self.process_count)
@@ -279,6 +294,16 @@ class DataLoader:
 
             gen = self._index_batches()
             futs: deque = deque()
+            group: list = []  # host-side packed batches awaiting grouping
+
+            def flush_group():
+                bufs = np.stack([b for b, _ in group])  # (G, nbytes)
+                metas = group[0][1]
+                group.clear()
+                if self.sharding is not None:
+                    bufs = jax.device_put(bufs, self.sharding)
+                out_q.put((bufs, metas))
+
             try:
                 try:
                     while len(futs) < self.num_workers:
@@ -292,6 +317,13 @@ class DataLoader:
                             futs.append(submit(*next(gen)))
                         except StopIteration:
                             gen = None
+                    if packed and self.super_batch > 1:
+                        buf, metas = batch
+                        assert not group or group[0][1] == metas
+                        group.append((buf, metas))
+                        if len(group) == self.super_batch:
+                            flush_group()
+                        continue
                     if packed:
                         buf, metas = batch
                         if self.sharding is not None:
@@ -300,6 +332,8 @@ class DataLoader:
                     elif self.sharding is not None:
                         batch = jax.tree_util.tree_map(place, batch)
                     out_q.put(batch)
+                if group:  # final partial group keeps its true length
+                    flush_group()
             except BaseException as exc:  # worker crash, BrokenProcessPool,
                 # unpicklable sample...: surface it in the consumer instead
                 # of hanging training forever on out_q.get()
@@ -323,7 +357,14 @@ class DataLoader:
 
     @staticmethod
     def unpack(item):
-        """dict form of a yielded item under any transfer mode."""
+        """dict form of a yielded item under any transfer mode.
+
+        For a super-batch group ((G, nbytes) buffer) returns the LAST
+        sub-batch — the one whose post-step model state metrics refer to.
+        """
         if isinstance(item, tuple):
-            return unpack_batch(*item)
+            buf, metas = item
+            if getattr(buf, "ndim", 1) == 2:
+                buf = buf[-1]
+            return unpack_batch(buf, metas)
         return item

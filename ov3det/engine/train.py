@@ -166,6 +166,38 @@ def make_packed_step(train_step):
     return packed_step
 
 
+def make_packed_multi_step(train_step):
+    """G train steps in ONE jitted dispatch over a (G, nbytes) super-batch.
+
+    Pairs with DataLoader(super_batch=G): the loader ships G packed batches
+    as one device buffer (one H2D put) and this program lax.scans the
+    per-batch train step over the G rows (one dispatch).  On transports
+    where every host->device RPC serializes behind in-flight compute, the
+    per-batch put + dispatch pair costs up to a full extra step of wall
+    time — grouping amortizes both to 1/G.  The scan body is the SAME
+    train step, so the compiled program stays one-step-sized.
+
+    Returns (state, metrics) with every metric stacked (G,) — callers log
+    metrics[...][g] per sub-step or just the last.  The per-sub-step rng is
+    fold_in(rng, g).
+    """
+    from ov3det.datasets.loader import unpack_batch
+
+    @partial(jax.jit, static_argnames=("metas",))
+    def multi_step(state, bufs, metas, rng):
+        def body(st, xs):
+            g, buf = xs
+            st, m = train_step(
+                st, unpack_batch(buf, metas), jax.random.fold_in(rng, g)
+            )
+            return st, m
+
+        G = bufs.shape[0]
+        return jax.lax.scan(body, state, (jnp.arange(G), bufs))
+
+    return multi_step
+
+
 def make_eval_step(
     model: Model3DETR,
     loss_cfg: Optional[LossConfig] = None,

@@ -104,6 +104,10 @@ def make_args_parser():
     p.add_argument("--meta_data_dir", type=str, default=None)
     p.add_argument("--dataset_num_workers", default=4, type=int)
     p.add_argument("--batchsize_per_gpu", default=8, type=int)
+    p.add_argument("--super_batch", default=1, type=int,
+                   help="group G batches into one H2D transfer + one "
+                   "scanned train dispatch (single-device runs; per-iter "
+                   "logging coarsens to every G iters)")
     p.add_argument("--num_points", default=None, type=int)
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
@@ -225,6 +229,7 @@ def config_from_args(args) -> TrainConfig:
             use_2d_feature=args.use_2d_feature,
             num_workers=args.dataset_num_workers,
             batch_size_per_device=args.batchsize_per_gpu,
+            super_batch=args.super_batch,
         ),
         teacher=TeacherConfig(
             enabled=args.use_image,
@@ -346,6 +351,8 @@ def do_train(cfg: TrainConfig, args=None):
         transfer = "packed" if jax.process_count() == 1 else "tree"
 
     datasets, dataset_config = build_dataset(cfg.data)
+    train_transfer = "packed_device" if transfer == "packed" else transfer
+    super_batch = cfg.data.super_batch if train_transfer == "packed_device" else 1
     train_loader = DataLoader(
         datasets["train"],
         batch_size=cfg.data.batch_size_per_device * cfg.num_devices,
@@ -353,8 +360,10 @@ def do_train(cfg: TrainConfig, args=None):
         num_workers=cfg.data.num_workers,
         seed=cfg.seed,
         sharding=sharding,
-        # train hot loop: unpack fuses into the step (one dispatch/batch)
-        transfer="packed_device" if transfer == "packed" else transfer,
+        # train hot loop: unpack fuses into the step (one dispatch/batch);
+        # super_batch>1 groups G batches into one put + one scan dispatch
+        transfer=train_transfer,
+        super_batch=super_batch,
     )
     test_loader = DataLoader(
         datasets["test"],
@@ -393,15 +402,28 @@ def do_train(cfg: TrainConfig, args=None):
     if mesh:
         state = replicate(state, mesh)
 
-    from ov3det.engine.train import make_packed_step
+    from ov3det.engine.train import make_packed_multi_step, make_packed_step
 
     packed_step = make_packed_step(train_step)
+    multi_step = make_packed_multi_step(train_step)
 
     def run_step(state, item, key):
-        """Dispatch one train step for either loader item form."""
+        """Dispatch one train step (or one G-batch scan) per loader item."""
         if isinstance(item, tuple):  # packed_device: (device buf, metas)
+            if item[0].ndim == 2:  # (G, nbytes) super-batch group
+                return multi_step(state, item[0], item[1], key)
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
+
+    def item_batches(item) -> int:
+        """How many train batches one loader item carries."""
+        if isinstance(item, tuple) and item[0].ndim == 2:
+            return int(item[0].shape[0])
+        return 1
+
+    def last_metrics(metrics) -> dict:
+        """Scalars of the LAST sub-step for (possibly (G,)-stacked) metrics."""
+        return {k: float(np.asarray(v).ravel()[-1]) for k, v in metrics.items()}
 
     assert cfg.checkpoint_dir, "set --checkpoint_dir"
     ckpt = CheckpointManager(cfg.checkpoint_dir)
@@ -437,38 +459,52 @@ def do_train(cfg: TrainConfig, args=None):
             exact_eval=False,
             eval_processes=0,
         )
-        for it, item in enumerate(train_loader):
+        it = 0  # batch index within the epoch (items may carry G batches)
+        prof_on = False
+        for item in train_loader:
             if guard.should_stop:
                 # preemption: persist the latest state and exit cleanly
                 ckpt.save_latest(state, epoch - 1, extra={"best_ap25": best_ap25})
                 print("preemption signal received; checkpoint saved, exiting")
                 return state
             t0 = time.time()
-            curr_iter = epoch * iters_per_epoch + it
+            g = item_batches(item)
+            # iter bookkeeping refers to the LAST batch this item carries
+            curr_iter = epoch * iters_per_epoch + it + g - 1
             global_it = curr_iter - start_epoch * iters_per_epoch
-            if cfg.profile_dir and global_it == 1:  # skip the compile step
-                os.makedirs(cfg.profile_dir, exist_ok=True)
+            if cfg.profile_dir and not prof_on and global_it >= 1:
+                os.makedirs(cfg.profile_dir, exist_ok=True)  # skip compile it
                 jax.profiler.start_trace(cfg.profile_dir)
+                prof_on = True
             state, metrics = run_step(
-                state, item, jax.random.fold_in(jax.random.PRNGKey(cfg.seed), curr_iter)
+                state, item,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                   epoch * iters_per_epoch + it),
             )
-            if cfg.profile_dir and global_it == 1 + cfg.profile_steps:
+            if (cfg.profile_dir and prof_on
+                    and global_it >= 1 + cfg.profile_steps):
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {cfg.profile_dir}")
-            if curr_iter % cfg.log_metrics_every == 0:
-                batch = DataLoader.unpack(item)
+                prof_on = False
+            crossed = (curr_iter // cfg.log_metrics_every
+                       > (curr_iter - g) // cfg.log_metrics_every)
+            if crossed or curr_iter % cfg.log_metrics_every == 0:
+                batch = DataLoader.unpack(item)  # last sub-batch of the item
                 outputs = eval_step(state, batch)
                 if isinstance(outputs, tuple):  # --eval_loss variant
                     outputs = outputs[0]
                 train_ap.step_meter(outputs, batch)
-            if curr_iter % cfg.log_every == 0:
-                loss = float(metrics["loss"])  # host sync, amortized
+            crossed = (curr_iter // cfg.log_every
+                       > (curr_iter - g) // cfg.log_every)
+            if crossed or curr_iter % cfg.log_every == 0:
+                scalars = last_metrics(metrics)  # host sync, amortized
+                loss = scalars["loss"]
                 if not math.isfinite(loss):
                     print("Loss is not finite. Training stopped.")
                     sys.exit(1)
                 loss_meter.update(loss)
-                time_meter.update(time.time() - t0)
+                time_meter.update((time.time() - t0) / g)
                 lr = float(schedule(jnp.asarray(curr_iter)))
                 eta = (max_iters - curr_iter) * time_meter.avg
                 print(
@@ -477,15 +513,14 @@ def do_train(cfg: TrainConfig, args=None):
                     f"Iter time {time_meter.avg:0.2f}; ETA {eta:0.0f}s"
                 )
                 logger.log_scalars(
-                    {k: float(v) for k, v in metrics.items()},
-                    curr_iter,
-                    prefix="Train_details/",
+                    scalars, curr_iter, prefix="Train_details/",
                 )
                 logger.log_scalars(
                     {"lr": lr, "loss": loss_meter.avg, "batch_time": time_meter.avg},
                     curr_iter,
                     prefix="Train/",
                 )
+            it += g
 
         ckpt.save_latest(state, epoch, extra={"best_ap25": best_ap25})
         if (

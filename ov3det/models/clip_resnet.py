@@ -96,8 +96,10 @@ class AttentionPool2d(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, C) -> (B, output_dim)."""
         B, H, W, C = x.shape
-        x = x.astype(jnp.float32)  # pool/softmax head stays f32
-        tokens = x.reshape(B, H * W, C)
+        # token assembly + positional add in f32 (tiny; keeps the mean and
+        # the softmax numerics exact)...
+        xf = x.astype(jnp.float32)
+        tokens = xf.reshape(B, H * W, C)
         mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
         tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, 1+HW, C)
         pos = self.param(
@@ -115,16 +117,26 @@ class AttentionPool2d(nn.Module):
             pos = jnp.concatenate([cls_pos, grid.reshape(H * W, C)], axis=0)
         tokens = tokens + pos[None]
 
-        q = nn.Dense(C, name="q_proj")(tokens[:, :1])
-        k = nn.Dense(C, name="k_proj")(tokens)
-        v = nn.Dense(C, name="v_proj")(tokens)
+        # ...but the k/v projections — the head's dominant FLOPs AND
+        # bandwidth (CxC = 2560x2560 weight panels streamed per chunk at
+        # teacher scale) — follow the tower's compute dtype; attention
+        # logits/softmax accumulate and normalize in f32
+        proj = partial(nn.Dense, dtype=self.dtype)
+        q = proj(C, name="q_proj")(tokens[:, :1])
+        k = proj(C, name="k_proj")(tokens)
+        v = proj(C, name="v_proj")(tokens)
         hd = C // self.num_heads
         q = q.reshape(B, 1, self.num_heads, hd)
         k = k.reshape(B, -1, self.num_heads, hd)
         v = v.reshape(B, -1, self.num_heads, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=_HI) / jnp.sqrt(hd)
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, precision=_HI,
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(hd)
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, precision=_HI).reshape(B, 1, C)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn, v.astype(jnp.float32), precision=_HI,
+        ).reshape(B, 1, C)
         return nn.Dense(self.output_dim, name="c_proj")(out)[:, 0]
 
 

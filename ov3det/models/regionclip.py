@@ -41,9 +41,10 @@ class RegionCLIPTeacher(nn.Module):
     pooler_resolution: int = 18
     pooler_scale: float = 1.0 / 16.0
     image_resolution: int = 288
-    # compute dtype for the conv trunk; "bfloat16" is the TPU-fast frozen-
-    # teacher configuration (MXU convs, halved HBM traffic); the attnpool
-    # softmax head always runs f32. None = float32 (parity-test setting).
+    # compute dtype for the conv trunk AND the attnpool q/k/v projections;
+    # "bfloat16" is the TPU-fast frozen-teacher configuration (MXU convs,
+    # halved HBM traffic); attention logits/softmax always accumulate in
+    # f32. None = float32 (parity-test setting).
     compute_dtype: Optional[str] = None
     # max regions (B x Q-chunk) per RoI-head pass — bounds HBM (see below)
     roi_chunk_regions: int = 256

@@ -77,9 +77,56 @@ class TestTraining:
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[:3] + losses[-3:]
-
         out = eval_step(state, batch)
         assert out["box_corners"].shape == (2, Q, 8, 3)
+
+    def test_packed_multi_step_matches_sequential(self):
+        """make_packed_multi_step (one scan dispatch over a (G, nbytes)
+        super-batch) must reproduce G sequential packed steps exactly:
+        same final params, same per-sub-step losses, same rng folding."""
+        from ov3det.datasets.loader import pack_batch
+        from ov3det.engine.train import make_packed_multi_step, make_packed_step
+
+        cfg = tiny_train_cfg()
+        model = Model3DETR(cfg.model)
+        batches = [batch_for(cfg, seed=s) for s in range(3)]
+        np_batches = [
+            {k: np.asarray(v) for k, v in b.items()} for b in batches
+        ]
+        packed = [pack_batch(b) for b in np_batches]
+        metas = packed[0][1]
+        inputs = {
+            "point_clouds": batches[0]["point_clouds"],
+            "point_cloud_dims_min": batches[0]["point_cloud_dims_min"],
+            "point_cloud_dims_max": batches[0]["point_cloud_dims_max"],
+        }
+        state, train_step, _, _ = build_training(
+            cfg, model, inputs, iters_per_epoch=10, rng=jax.random.PRNGKey(0)
+        )
+        packed_step = make_packed_step(train_step)
+        multi_step = make_packed_multi_step(train_step)
+
+        key = jax.random.PRNGKey(42)
+        st_seq = state
+        seq_losses = []
+        for g, (buf, m) in enumerate(packed):
+            st_seq, metrics = packed_step(
+                st_seq, jnp.asarray(buf), m, jax.random.fold_in(key, g)
+            )
+            seq_losses.append(float(metrics["loss"]))
+
+        bufs = jnp.asarray(np.stack([b for b, _ in packed]))
+        st_multi, ms = multi_step(state, bufs, metas, key)
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), seq_losses, rtol=1e-6
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            st_multi.params, st_seq.params,
+        )
+        assert int(st_multi.step) == int(st_seq.step) == 3
 
     def test_lr_schedule_matches_reference_formula(self):
         cfg = OptimConfig(base_lr=5e-4, warm_lr=1e-6, warm_lr_epochs=9, final_lr=1e-6)

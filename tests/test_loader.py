@@ -210,3 +210,34 @@ class TestPackedTransfer:
             assert set(a) == set(b)
             for k in a:
                 np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_super_batch_groups_match_per_batch_items(self):
+        """super_batch=G ships (G, nbytes) device buffers whose rows unpack
+        to exactly the per-batch packed stream, with the final partial
+        group keeping its true length."""
+        import jax
+
+        from ov3det.datasets import SyntheticDataset
+        from ov3det.datasets.loader import DataLoader, unpack_batch
+
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        ds = SyntheticDataset(size=20, num_points=64)  # 5 batches -> 2+2+1
+        kw = dict(batch_size=4, shuffle=False, num_workers=2,
+                  sharding=sharding, transfer="packed_device")
+        singles = list(DataLoader(ds, **kw))
+        groups = list(DataLoader(ds, super_batch=2, **kw))
+        assert len(singles) == 5 and len(groups) == 3
+        assert [g[0].shape[0] for g in groups] == [2, 2, 1]
+        flat = [(bufs[g], metas) for bufs, metas in groups
+                for g in range(bufs.shape[0])]
+        for (sb, sm), (gb, gm) in zip(singles, flat):
+            assert sm == gm
+            a = unpack_batch(sb, sm)
+            b = unpack_batch(gb, gm)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        # unpack() of a group returns the LAST sub-batch's dict
+        last = DataLoader.unpack(groups[0])
+        want = unpack_batch(*singles[1])
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(last[k]), np.asarray(want[k]))
