@@ -206,38 +206,30 @@ def step_flops(train_step, state, batch) -> float:
 
 
 def make_loader(ds, super_batch=1):
+    # thread workers, few of them: this harness host has ONE CPU core, so
+    # process workers only add pickling/IPC (~13 ms/batch measured) and
+    # extra workers add nothing; batch synthesis is numpy-heavy (releases
+    # the GIL) and overlaps the REMOTE device execution just fine from
+    # threads
     return DataLoader(
-        ds, batch_size=BATCH, shuffle=False, num_workers=6, prefetch=3,
+        ds, batch_size=BATCH, shuffle=False, num_workers=3, prefetch=3,
         sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
-        worker_type="process", transfer="packed_device",
+        worker_type="thread", transfer="packed_device",
         super_batch=super_batch,
     )
 
 
-def bench_point(cfg, budget: Budget, extras: dict):
-    note("building point-only model + compiling train step")
+def bench_point_e2e(cfg, budget: Budget, extras: dict):
+    """The HEADLINE number: fresh scenes through the DataLoader (host
+    preproc + H2D + unpack fused into the scanned multi-step).  Runs FIRST
+    so one fresh compile of the multi-step program (minutes through a
+    remote-tunnel compile service, unbudgetable) cannot starve the
+    scoreboard of the one number that matters.  Median of 3 windows:
+    dispatch latency through the shared device tunnel wobbles run-to-run,
+    and a single window inherits that noise wholesale."""
+    note("building point-only model")
     state, run_step, staged, train_step = build(cfg)
-
-    # step-only: one staged batch, dependency-chained steps (device ceiling)
-    dt, n = time_loop(run_step, state, [staged] * (WARMUP + STEP_ITERS), WARMUP)
-    step_only = BATCH * n / dt
-    extras["step_only_scenes_per_sec"] = round(step_only, 3)
-    extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
-    note(f"step-only {step_only:.1f} scenes/s")
-
-    fl = step_flops(train_step, state, staged)
-    if fl > 0:
-        flops_per_sec = fl * step_only / BATCH
-        extras["step_tflops_est"] = round(fl / 1e12, 3)
-        extras["mfu_pct_vs_v5e_bf16_peak"] = round(
-            100 * flops_per_sec / V5E_PEAK_FLOPS, 2
-        )
-
-    # e2e: fresh scenes through the DataLoader (host preproc + H2D + unpack
-    # fused into the step).  Median of 3 windows: dispatch latency through
-    # this harness's shared device tunnel wobbles run-to-run, and a single
-    # window inherits that noise wholesale.
-    note("point e2e windows")
+    note("point e2e windows (first item compiles the multi-step program)")
     ds = SyntheticDataset(
         size=(WARMUP + 3 * E2E_ITERS) * SUPER * BATCH, seed=3,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
@@ -254,7 +246,31 @@ def bench_point(cfg, budget: Budget, extras: dict):
     extras["e2e_fetch_ms_per_item"] = round(f_ms, 1)
     extras["e2e_dispatch_ms_per_item"] = round(d_ms, 1)
     note(f"point e2e {e2e:.1f} scenes/s (fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
-    return e2e
+    return e2e, state, run_step, staged, train_step
+
+
+def bench_point_step_only(state, run_step, staged, train_step,
+                          budget: Budget, extras: dict):
+    """Device-compute ceiling: one staged batch, dependency-chained steps.
+    Compiles the plain (non-scanned) train step — a separate program, so
+    this whole section is budget-gated."""
+    if not budget.allows(60):
+        extras["skipped_step_only"] = "budget"
+        return
+    note("step-only chained (compiles the plain train step)")
+    dt, n = time_loop(run_step, state, [staged] * (WARMUP + STEP_ITERS), WARMUP)
+    step_only = BATCH * n / dt
+    extras["step_only_scenes_per_sec"] = round(step_only, 3)
+    extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
+    note(f"step-only {step_only:.1f} scenes/s")
+
+    fl = step_flops(train_step, state, staged)
+    if fl > 0:
+        flops_per_sec = fl * step_only / BATCH
+        extras["step_tflops_est"] = round(fl / 1e12, 3)
+        extras["mfu_pct_vs_v5e_bf16_peak"] = round(
+            100 * flops_per_sec / V5E_PEAK_FLOPS, 2
+        )
 
 
 def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
@@ -304,9 +320,9 @@ def main():
     cfg = sunrgbd_quick()
 
     extras = {}
-    e2e = None
+    e2e = point_ctx = None
     if args.mode in ("all", "point"):
-        e2e = bench_point(cfg, budget, extras)
+        e2e, *point_ctx = bench_point_e2e(cfg, budget, extras)
     result = {
         "metric": "train_scenes_per_sec_per_chip_sunrgbd_e2e",
         "value": round(e2e, 3) if e2e is not None else None,
@@ -317,6 +333,10 @@ def main():
         **extras,
     }
     emit(result)  # headline lands NOW; later sections only improve on it
+
+    if point_ctx is not None:
+        bench_point_step_only(*point_ctx, budget, result)
+        emit(result)
 
     if args.mode in ("all", "ov"):
         # teacher compile (warm cache) + windows: ~3-4 min on this chip
