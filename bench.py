@@ -252,9 +252,10 @@ def bench_point_e2e(cfg, budget: Budget, extras: dict):
 def bench_point_step_only(state, run_step, staged, train_step,
                           budget: Budget, extras: dict):
     """Device-compute ceiling: one staged batch, dependency-chained steps.
-    Compiles the plain (non-scanned) train step — a separate program, so
-    this whole section is budget-gated."""
-    if not budget.allows(60):
+    Compiles the plain (non-scanned) train step — a separate program, and
+    even a persistent-cache hit costs ~2 min of trace + executable load
+    through the tunnel, so this whole section is budget-gated."""
+    if not budget.allows(240):
         extras["skipped_step_only"] = "budget"
         return
     note("step-only chained (compiles the plain train step)")
@@ -264,6 +265,9 @@ def bench_point_step_only(state, run_step, staged, train_step,
     extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
     note(f"step-only {step_only:.1f} scenes/s")
 
+    if not budget.allows(150):  # cost_analysis re-loads the executable
+        extras["skipped_mfu"] = "budget"
+        return
     fl = step_flops(train_step, state, staged)
     if fl > 0:
         flops_per_sec = fl * step_only / BATCH
@@ -339,8 +343,8 @@ def main():
         emit(result)
 
     if args.mode in ("all", "ov"):
-        # teacher compile (warm cache) + windows: ~3-4 min on this chip
-        if not budget.allows(60):
+        # teacher init + OV multi-step standup: ~4-6 min warm-cache
+        if not budget.allows(300):
             result["skipped_ov"] = "budget"
             emit(result)
             return
