@@ -176,16 +176,17 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
         rng=jax.random.PRNGKey(0), teacher_fn=teacher_fn,
         teacher_vars=teacher_vars,
     )
-    from ov3det.engine.train import make_packed_multi_step, make_packed_step
+    from ov3det.engine.train import make_packed_group_step, make_packed_step
 
     packed_step = make_packed_step(train_step)
-    multi_step = make_packed_multi_step(train_step)
+    group_step = make_packed_group_step(train_step)
 
     def run_step(state, item, key):
         if isinstance(item, tuple):  # packed_device: unpack fused in-step
-            if item[0].ndim == 2:  # (G, nbytes) super-batch group
-                # metrics come back stacked (G,); callers reduce lazily
-                return multi_step(state, item[0], item[1], key)
+            if item[0].ndim == 2:  # (G, nbytes) super-batch group:
+                # G plain dispatches against the device-resident buffer
+                # (lax.scan bodies run 2-3x slow through this transport)
+                return group_step(state, item[0], item[1], key)
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
 
@@ -229,7 +230,7 @@ def bench_point_e2e(cfg, budget: Budget, extras: dict):
     and a single window inherits that noise wholesale."""
     note("building point-only model")
     state, run_step, staged, train_step = build(cfg)
-    note("point e2e windows (first item compiles the multi-step program)")
+    note("point e2e windows (first item compiles the group-step program)")
     ds = SyntheticDataset(
         size=(WARMUP + 3 * E2E_ITERS) * SUPER * BATCH, seed=3,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
@@ -249,23 +250,44 @@ def bench_point_e2e(cfg, budget: Budget, extras: dict):
     return e2e, state, run_step, staged, train_step
 
 
-def bench_point_step_only(state, run_step, staged, train_step,
+def bench_point_step_only(cfg, state, run_step, staged, train_step,
                           budget: Budget, extras: dict):
-    """Device-compute ceiling: one staged batch, dependency-chained steps.
-    Compiles the plain (non-scanned) train step — a separate program, and
-    even a persistent-cache hit costs ~2 min of trace + executable load
-    through the tunnel, so this whole section is budget-gated."""
-    if not budget.allows(240):
+    """Device-compute ceiling: ONE staged device-resident group buffer,
+    dependency-chained group dispatches — no H2D in the loop, and it
+    reuses the exact program the e2e section already compiled (a second
+    program would cost ~2 min of standup through the tunnel even on a
+    persistent-cache hit)."""
+    if not budget.allows(120):
         extras["skipped_step_only"] = "budget"
         return
-    note("step-only chained (compiles the plain train step)")
-    dt, n = time_loop(run_step, state, [staged] * (WARMUP + STEP_ITERS), WARMUP)
-    step_only = BATCH * n / dt
+    note("step-only: chained groups on a staged device buffer")
+    from ov3det.datasets.loader import pack_batch
+
+    ds = SyntheticDataset(
+        size=SUPER * BATCH, seed=7, num_points=NUM_POINTS,
+        num_semcls=cfg.model.num_semcls, num_angle_bin=cfg.model.num_angle_bin,
+    )
+    bufs, metas = [], None
+    for g in range(SUPER):
+        items = [ds[g * BATCH + i] for i in range(BATCH)]
+        b, metas = pack_batch(
+            {k: np.stack([it[k] for it in items]) for k in items[0]}
+        )
+        bufs.append(b)
+    group = (
+        jax.device_put(
+            np.stack(bufs), jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        ),
+        metas,
+    )
+    iters = max(STEP_ITERS // SUPER, 3)
+    dt, n = time_loop(run_step, state, [group] * (2 + iters), 2)
+    step_only = SUPER * BATCH * n / dt
     extras["step_only_scenes_per_sec"] = round(step_only, 3)
     extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
     note(f"step-only {step_only:.1f} scenes/s")
 
-    if not budget.allows(150):  # cost_analysis re-loads the executable
+    if not budget.allows(240):  # compiles/loads the plain train step
         extras["skipped_mfu"] = "budget"
         return
     fl = step_flops(train_step, state, staged)
@@ -339,7 +361,7 @@ def main():
     emit(result)  # headline lands NOW; later sections only improve on it
 
     if point_ctx is not None:
-        bench_point_step_only(*point_ctx, budget, result)
+        bench_point_step_only(cfg, *point_ctx, budget, result)
         emit(result)
 
     if args.mode in ("all", "ov"):

@@ -171,11 +171,15 @@ def make_packed_multi_step(train_step):
 
     Pairs with DataLoader(super_batch=G): the loader ships G packed batches
     as one device buffer (one H2D put) and this program lax.scans the
-    per-batch train step over the G rows (one dispatch).  On transports
-    where every host->device RPC serializes behind in-flight compute, the
-    per-batch put + dispatch pair costs up to a full extra step of wall
-    time — grouping amortizes both to 1/G.  The scan body is the SAME
-    train step, so the compiled program stays one-step-sized.
+    per-batch train step over the G rows (one dispatch).  The scan body is
+    the SAME train step, so the compiled program stays one-step-sized.
+
+    NOTE: on the remote-tunnel transport this repo benches on, XLA
+    while-loop bodies execute ~2-3x slower than the identical program
+    dispatched plainly (same pathology as the scan-wrapped teacher note in
+    models/regionclip.py) — there, use make_packed_group_step instead,
+    which amortizes the H2D without a scan.  On directly-attached TPU
+    hardware this single-dispatch form is the better choice.
 
     Returns (state, metrics) with every metric stacked (G,) — callers log
     metrics[...][g] per sub-step or just the last.  The per-sub-step rng is
@@ -196,6 +200,40 @@ def make_packed_multi_step(train_step):
         return jax.lax.scan(body, state, (jnp.arange(G), bufs))
 
     return multi_step
+
+
+def make_packed_group_step(train_step, max_group: int = 64):
+    """One plain train-step dispatch per sub-batch of a (G, nbytes) group,
+    WITHOUT re-transferring: the group buffer lives on device (one H2D put
+    by the loader), and each dispatch gathers row g with a pre-staged
+    device index scalar — so the steady-state loop issues zero host->device
+    transfers and G ordinary dispatches per group.  Use this on transports
+    where (a) every put serializes behind in-flight compute (hence the
+    grouping) and (b) XLA loop bodies dispatch slowly (hence no scan).
+
+    Returns run_group(state, bufs, metas, rng) -> (state, metrics_of_last).
+    """
+    from ov3det.datasets.loader import unpack_batch
+
+    # pre-staged device scalars: created once, reused every group
+    idx_cache: dict = {}
+
+    @partial(jax.jit, static_argnames=("metas",))
+    def sub_step(state, bufs, g, metas, rng):
+        buf = bufs[g]  # on-device row gather of the resident group buffer
+        key = jax.random.fold_in(rng, g)
+        return train_step(state, unpack_batch(buf, metas), key)
+
+    def run_group(state, bufs, metas, rng):
+        G = int(bufs.shape[0])
+        metrics = None
+        for g in range(G):
+            if g not in idx_cache:
+                idx_cache[g] = jnp.asarray(g, jnp.int32)
+            state, metrics = sub_step(state, bufs, idx_cache[g], metas, rng)
+        return state, metrics
+
+    return run_group
 
 
 def make_eval_step(

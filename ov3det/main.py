@@ -402,16 +402,16 @@ def do_train(cfg: TrainConfig, args=None):
     if mesh:
         state = replicate(state, mesh)
 
-    from ov3det.engine.train import make_packed_multi_step, make_packed_step
+    from ov3det.engine.train import make_packed_group_step, make_packed_step
 
     packed_step = make_packed_step(train_step)
-    multi_step = make_packed_multi_step(train_step)
+    group_step = make_packed_group_step(train_step)
 
     def run_step(state, item, key):
-        """Dispatch one train step (or one G-batch scan) per loader item."""
+        """Dispatch one train step (or one G-batch group) per loader item."""
         if isinstance(item, tuple):  # packed_device: (device buf, metas)
             if item[0].ndim == 2:  # (G, nbytes) super-batch group
-                return multi_step(state, item[0], item[1], key)
+                return group_step(state, item[0], item[1], key)
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
 

