@@ -295,10 +295,36 @@ class DataLoader:
             gen = self._index_batches()
             futs: deque = deque()
             group: list = []  # host-side packed batches awaiting grouping
+            # Reusable (G, nbytes) staging buffers: a FRESH 10s-of-MB numpy
+            # allocation per group hits sporadic multi-second page-fault /
+            # CPU-steal stalls on small shared hosts (measured 18 ms p50,
+            # 2.8 s worst for one 16 MB np.stack) — the ring caps that to
+            # first-touch only.  A slot is reused after `ring_depth` more
+            # groups; device_put has copied it out long before (the consumer
+            # holds at most `prefetch` undispatched groups).
+            ring: list = []
+            ring_depth = max(self.prefetch, 1) + 2
+            ring_i = 0
 
             def flush_group():
-                bufs = np.stack([b for b, _ in group])  # (G, nbytes)
+                nonlocal ring_i
                 metas = group[0][1]
+                if not ring and self.sharding is not None:
+                    nbytes = group[0][0].size
+                    for _ in range(ring_depth):
+                        ring.append(
+                            np.empty((self.super_batch, nbytes), np.uint8)
+                        )
+                if self.sharding is None or len(group) < self.super_batch:
+                    # host mode yields the buffer itself (no device copy to
+                    # detach it from the ring) and the final partial group
+                    # has a different G — both take a fresh allocation
+                    bufs = np.stack([b for b, _ in group])
+                else:
+                    bufs = ring[ring_i % ring_depth]
+                    ring_i += 1
+                    for g, (b, _) in enumerate(group):
+                        np.copyto(bufs[g], b)
                 group.clear()
                 if self.sharding is not None:
                     bufs = jax.device_put(bufs, self.sharding)

@@ -29,6 +29,15 @@ def _bin_to_angle_np(cls, residual, num_bins):
     return np.where(angle > np.pi, angle - 2 * np.pi, angle).astype(np.float32)
 
 
+def _randf(rng: np.random.Generator, lo, hi, size):
+    """Uniform float32 in [lo, hi): native f32 generation (Generator.random
+    supports dtype) — half the memory traffic of uniform()'s f64 + astype,
+    which dominated loader-worker CPU at 20k-point scenes on this 1-core
+    host."""
+    u = rng.random(size=size, dtype=np.float32)
+    return lo + (hi - lo) * u
+
+
 def make_scene(
     rng: np.random.Generator,
     num_points: int = 2048,
@@ -40,17 +49,15 @@ def make_scene(
     scan_idx: int = 0,
 ) -> dict:
     K = int(num_boxes) if num_boxes is not None else int(rng.integers(1, 9))
-    centers = rng.uniform(-2.5, 2.5, size=(K, 3)).astype(np.float32)
-    centers[:, 2] = rng.uniform(0.2, 1.5, size=K)
+    centers = _randf(rng, -2.5, 2.5, (K, 3))
+    centers[:, 2] = _randf(rng, 0.2, 1.5, K)
     # classes are LEARNABLE from geometry: class k has a characteristic size
     # (so the classifier head can be trained on synthetic data end-to-end)
     labels = rng.integers(0, num_semcls, size=K).astype(np.int64)
     base = 0.3 + 1.3 * (labels.astype(np.float32) + 0.5) / num_semcls
-    sizes = (
-        base[:, None] * rng.uniform(0.85, 1.15, size=(K, 3))
-    ).astype(np.float32)
+    sizes = base[:, None] * _randf(rng, 0.85, 1.15, (K, 3))
     if num_angle_bin > 1:
-        raw = rng.uniform(0, 2 * np.pi, size=K).astype(np.float32)
+        raw = _randf(rng, 0, 2 * np.pi, K)
         acls, ares = _angle_to_bin_np(raw, num_angle_bin)
         angles = _bin_to_angle_np(acls, ares, num_angle_bin)
     else:
@@ -59,32 +66,36 @@ def make_scene(
         ares = np.zeros(K, np.float32)
 
     # points: 70% inside boxes (uniform in the unrotated box then rotated),
-    # 30% floor/background
+    # 30% floor/background — one vectorized pass over ALL object points
+    # (per-point box ids + einsum with per-box rotations), no per-box loop
     n_obj = int(num_points * 0.7)
-    per_box = np.full(K, n_obj // K)
-    per_box[: n_obj - per_box.sum()] += 1
-    pts = []
-    for k in range(K):
-        local = (rng.uniform(-0.5, 0.5, size=(per_box[k], 3)) * sizes[k]).astype(
-            np.float32
-        )
-        c, s = np.cos(-angles[k]), np.sin(-angles[k])
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-        pts.append(local @ rot.T + centers[k])
+    box_id = np.arange(n_obj, dtype=np.int64) % K
+    local = _randf(rng, -0.5, 0.5, (n_obj, 3)) * sizes[box_id]
+    c, s = np.cos(-angles), np.sin(-angles)  # (K,)
+    zeros, ones = np.zeros_like(c), np.ones_like(c)
+    rot = np.stack(
+        [c, -s, zeros, s, c, zeros, zeros, zeros, ones], axis=-1
+    ).reshape(K, 3, 3)
+    obj = np.einsum("ni,nji->nj", local, rot[box_id]) + centers[box_id]
     n_bg = num_points - n_obj
-    bg = rng.uniform(-3.5, 3.5, size=(n_bg, 3)).astype(np.float32)
-    bg[:, 2] = rng.uniform(0.0, 0.05, size=n_bg)
-    point_cloud = np.concatenate(pts + [bg], axis=0)
+    bg = _randf(rng, -3.5, 3.5, (n_bg, 3))
+    bg[:, 2] = _randf(rng, 0.0, 0.05, n_bg)
+    point_cloud = np.concatenate([obj, bg], axis=0)
+    # extents BEFORE the shuffle (permutation-invariant); reduce along the
+    # CONTIGUOUS axis of a transposed copy — numpy's strided axis-0
+    # reduction over (N, 3) runs ~16x slower on this host than the
+    # transpose-copy + axis-1 reduce
+    pc_t = np.ascontiguousarray(point_cloud.T)
+    pc_min = pc_t.min(axis=1)
+    pc_max = pc_t.max(axis=1)
     # permutation-gather, NOT rng.shuffle(axis=0): Generator.shuffle on a
     # 2-D array does per-row swaps (~60 ms at 20k points — it was the whole
     # loader bottleneck); the gather is ~40x faster
     point_cloud = point_cloud[rng.permutation(point_cloud.shape[0])]
     if use_color:
-        color = rng.uniform(0, 1, size=(num_points, 3)).astype(np.float32) - 0.5
+        color = _randf(rng, -0.5, 0.5, (num_points, 3))
         point_cloud = np.concatenate([point_cloud, color], axis=1)
 
-    pc_min = point_cloud[:, :3].min(axis=0)
-    pc_max = point_cloud[:, :3].max(axis=0)
     extent = pc_max - pc_min
 
     def pad(arr, shape, dtype):
@@ -100,7 +111,7 @@ def make_scene(
     present = np.zeros(max_num_obj, np.float32)
     present[:K] = 1.0
     return {
-        "point_clouds": point_cloud.astype(np.float32),
+        "point_clouds": np.ascontiguousarray(point_cloud, np.float32),
         "gt_box_corners": pad(corners, (max_num_obj, 8, 3), np.float32),
         "gt_box_centers": pad(centers, (max_num_obj, 3), np.float32),
         "gt_box_centers_normalized": pad(

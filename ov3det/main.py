@@ -476,10 +476,15 @@ def do_train(cfg: TrainConfig, args=None):
                 os.makedirs(cfg.profile_dir, exist_ok=True)  # skip compile it
                 jax.profiler.start_trace(cfg.profile_dir)
                 prof_on = True
+            # per-iter key built HOST-side: an old-style PRNG key is just a
+            # uint32[2] array ([seed, iter] is a distinct key per step), and
+            # jax.random.PRNGKey/fold_in are each a device dispatch — two
+            # extra RPCs per item on the remote-tunnel runtime.  Sub-step
+            # derivation (fold_in(key, g)) happens INSIDE the jitted step.
             state, metrics = run_step(
                 state, item,
-                jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                   epoch * iters_per_epoch + it),
+                np.array([cfg.seed & 0xFFFFFFFF,
+                          epoch * iters_per_epoch + it], np.uint32),
             )
             if (cfg.profile_dir and prof_on
                     and global_it >= 1 + cfg.profile_steps):
