@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ov3det.ops import (
-    ball_group,
+    ball_group_auto,
     ball_query,
     furthest_point_sample,
     gather_points,
@@ -56,8 +56,12 @@ class PointnetSAModule(nn.Module):
         inds = furthest_point_sample(xyz, self.npoint, shards=self.fps_shards)
         new_xyz = gather_points(xyz, inds)
         if self.ball_query_method == "bucketed":
-            # fused query+group: one-hot contraction instead of a gather
-            grouped = ball_group(
+            # fused query+group: a VMEM-resident Pallas kernel on TPU, a
+            # one-hot MXU contraction elsewhere.  The two paths differ only
+            # in which axis carries the K neighbors — the shared MLP acts on
+            # the channel axis and the pool reduces K wherever it lives, so
+            # neither pays a transpose.
+            grouped, k_axis = ball_group_auto(
                 xyz, features, new_xyz, self.radius, self.nsample,
                 self.normalize_xyz,
             )
@@ -67,6 +71,7 @@ class PointnetSAModule(nn.Module):
             grouped = group_points(
                 xyz, features, new_xyz, group_idx, self.radius, self.normalize_xyz
             )  # (B, M, K, 3 + C)
+            k_axis = 2
 
         h = grouped
         for width in self.mlp_dims:
@@ -78,5 +83,5 @@ class PointnetSAModule(nn.Module):
                 axis_name=self.bn_axis_name if train else None,
             )(h)
             h = nn.relu(h)
-        new_features = jnp.max(h, axis=2)  # max-pool over the K neighbors
+        new_features = jnp.max(h, axis=k_axis)  # max-pool over the K neighbors
         return new_xyz, new_features, inds

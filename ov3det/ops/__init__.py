@@ -1,6 +1,8 @@
 from ov3det.ops.pointcloud import (
     ball_group,
+    ball_group_auto,
     ball_query,
+    bucket_picks,
     furthest_point_sample,
     gather_points,
     group_points,
@@ -9,6 +11,8 @@ from ov3det.ops.hungarian import auction_lap
 
 __all__ = [
     "ball_group",
+    "ball_group_auto",
+    "bucket_picks",
     "ball_query",
     "furthest_point_sample",
     "gather_points",

@@ -219,6 +219,31 @@ def ball_query(
     return idx.astype(jnp.int32)
 
 
+def bucket_picks(
+    xyz: jnp.ndarray, centers: jnp.ndarray, radius: float, nsample: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bucket first hits of the bucketed ball query.
+
+    The point axis is split into `nsample` equal contiguous buckets; slot k
+    takes the first in-radius point of bucket k.  Returns
+    (pick (B, M, K) int32 bucket-LOCAL index, has (B, M, K) bool).
+    Shared by the XLA ball_group and the Pallas kernel's backward pass.
+    """
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    K = nsample
+    pad = (-N) % K
+    pts = jnp.pad(
+        jax.lax.stop_gradient(xyz), ((0, 0), (0, pad), (0, 0)),
+        constant_values=1e6,
+    )
+    # f32 throughout: the |c|^2+|x|^2-2c.x expansion cancels catastrophically
+    # at ball-radius scale in bf16 (d2 ~ 0.04 from ~10-magnitude operands)
+    d2 = _pairwise_d2(jax.lax.stop_gradient(centers), pts)  # (B, M, Npad)
+    in_ball = (d2 < radius * radius).reshape(B, M, K, (N + pad) // K)
+    return jnp.argmax(in_ball, axis=-1), jnp.any(in_ball, axis=-1)
+
+
 def ball_group(
     xyz: jnp.ndarray,
     features: jnp.ndarray | None,
@@ -234,6 +259,11 @@ def ball_group(
     a one-hot MXU contraction per bucket instead of a random gather — XLA
     gathers of ~1M indices cost ~100 ms/batch on TPU, the contraction a few
     ms.  Returns (B, M, nsample, 3 + C).
+
+    See also ops.pallas.ball_group_kernel.ball_group_pallas — the fully
+    fused VMEM-resident version of this op (this XLA formulation is its
+    correctness oracle and still materializes ~3 GB of d2/one-hot
+    intermediates per flagship batch).
     """
     B, N, _ = xyz.shape
     M = centers.shape[1]
@@ -245,12 +275,7 @@ def ball_group(
     Npad = N + pad
     Nb = Npad // K
 
-    # f32 throughout: the |c|^2+|x|^2-2c.x expansion cancels catastrophically
-    # at ball-radius scale in bf16 (d2 ~ 0.04 from ~10-magnitude operands)
-    d2 = _pairwise_d2(centers_sg, pts)  # (B, M, Npad)
-    in_ball = (d2 < radius * radius).reshape(B, M, K, Nb)
-    pick = jnp.argmax(in_ball, axis=-1)  # (B, M, K) first hit per bucket
-    has = jnp.any(in_ball, axis=-1)  # (B, M, K)
+    pick, has = bucket_picks(xyz_sg, centers_sg, radius, K)  # (B, M, K)
 
     onehot = jax.nn.one_hot(pick, Nb, dtype=jnp.float32) * has[..., None]
     pts_b = pts.reshape(B, K, Nb, 3)
@@ -275,6 +300,78 @@ def ball_group(
     first_feat = jnp.einsum("bmk,bmkc->bmc", ohk, g_feat)
     g_feat = jnp.where(has[..., None], g_feat, first_feat[:, :, None, :])
     return jnp.concatenate([rel, g_feat], axis=-1)
+
+
+def ball_group_auto(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    centers: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    normalize_xyz: bool = True,
+    use_pallas: bool | None = None,
+) -> tuple[jnp.ndarray, int]:
+    """ball_group with automatic Pallas-kernel dispatch on TPU.
+
+    Returns (grouped, neighbor_axis): the Pallas kernel emits the
+    neighbor-major (B, K, M, 3+C) layout (axis 1), the XLA fallback the
+    center-major (B, M, K, 3+C) layout (axis 2).  Consumers (the SA
+    module's shared MLP + max-pool) are layout-agnostic, so no transpose is
+    paid either way.
+
+    Dispatch mirrors furthest_point_sample: OV3DET_BALLGROUP=pallas|xla
+    forces it; otherwise the kernel runs on TPU when its per-cell VMEM
+    blocks fit, shard_map-wrapped over an active data mesh (the op is
+    batch-parallel), and in interpret mode on other backends when forced.
+    """
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    K = nsample
+    P = 3 + (0 if features is None else features.shape[-1])
+    if use_pallas is None:
+        force = os.environ.get("OV3DET_BALLGROUP")
+        if force in ("pallas", "xla"):
+            use_pallas = force == "pallas"
+        else:
+            Nb = -(-N // K)
+            tm = 128 if P <= 128 else 64
+            # conservative per-cell VMEM estimate: bucketed points block +
+            # output slab, both padded to TPU tiles
+            pts_b = K * max(P, 8) * (-(-Nb // 128) * 128) * 4
+            out_b = K * tm * (-(-P // 128) * 128) * 4
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and pts_b + out_b <= 10 * 2**20
+            )
+    if not use_pallas:
+        return ball_group(xyz, features, centers, radius, K, normalize_xyz), 2
+
+    from ov3det.ops.pallas.ball_group_kernel import ball_group_pallas
+    from ov3det.parallel.mesh import DATA_AXIS, data_mesh
+
+    interpret = jax.default_backend() != "tpu"
+
+    # custom_vjp nondiff args must be positional
+    def run(x, f, c):
+        return ball_group_pallas(x, f, c, radius, K, normalize_xyz, interpret)
+
+    mesh = data_mesh()
+    if mesh is not None and mesh.size > 1 and B % mesh.size == 0:
+        from jax.sharding import PartitionSpec as Pspec
+
+        spec = Pspec(DATA_AXIS)
+        if features is None:
+            sharded = jax.shard_map(
+                lambda x, c: run(x, None, c), mesh=mesh,
+                in_specs=(spec, spec), out_specs=spec, check_vma=False,
+            )
+            return sharded(xyz, centers), 1
+        sharded = jax.shard_map(
+            run, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+        return sharded(xyz, features, centers), 1
+    return run(xyz, features, centers), 1
 
 
 def group_points(

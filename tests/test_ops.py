@@ -285,3 +285,104 @@ class TestAuctionAdversarial:
         p2o = np.asarray(p2o)
         for b in range(B):
             assert (cost[b, np.arange(P), p2o[b]] == 0.0).all()
+
+
+class TestPallasBallGroup:
+    """The fused VMEM-resident kernel vs the XLA ball_group oracle.
+
+    Layouts differ by design (kernel: (B, K, M, P); XLA: (B, M, K, P)) —
+    tests compare after transposition.  Test data keeps points away from
+    the exact radius boundary so the kernel's direct-difference distance
+    and the oracle's |c|^2+|x|^2-2cx expansion cannot disagree on
+    membership.
+    """
+
+    def _data(self, seed, B=2, N=250, C=4, M=16):
+        rng = np.random.default_rng(seed)
+        xyz = rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32)
+        feat = rng.normal(size=(B, N, C)).astype(np.float32)
+        centers = xyz[:, :M].copy()
+        centers[:, -1] += 50.0  # one center with an empty ball everywhere
+        return xyz, feat, centers
+
+    def test_matches_xla_oracle(self):
+        from ov3det.ops import ball_group
+        from ov3det.ops.pallas.ball_group_kernel import ball_group_pallas
+
+        xyz, feat, centers = self._data(31)
+        r, K = 0.5, 8  # N=250 not divisible by K: exercises padding
+        want = np.asarray(
+            ball_group(jnp.asarray(xyz), jnp.asarray(feat),
+                       jnp.asarray(centers), r, K)
+        )
+        got = np.asarray(
+            jax.jit(
+                lambda x, f, c: ball_group_pallas(x, f, c, r, K, True, True)
+            )(jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(centers))
+        )
+        np.testing.assert_allclose(
+            got.transpose(0, 2, 1, 3), want, atol=1e-5
+        )
+
+    def test_no_features(self):
+        from ov3det.ops import ball_group
+        from ov3det.ops.pallas.ball_group_kernel import ball_group_pallas
+
+        xyz, _, centers = self._data(32)
+        r, K = 0.4, 16
+        want = np.asarray(
+            ball_group(jnp.asarray(xyz), None, jnp.asarray(centers), r, K,
+                       normalize_xyz=False)
+        )
+        got = np.asarray(
+            ball_group_pallas(jnp.asarray(xyz), None, jnp.asarray(centers),
+                              r, K, False, True)
+        )
+        np.testing.assert_allclose(got.transpose(0, 2, 1, 3), want, atol=1e-5)
+
+    def test_feature_grad_matches_xla(self):
+        from ov3det.ops import ball_group
+        from ov3det.ops.pallas.ball_group_kernel import ball_group_pallas
+
+        xyz, feat, centers = self._data(33, N=128, C=6, M=8)
+        r, K = 0.5, 8
+        w = np.asarray(
+            np.random.default_rng(7).normal(size=(2, 8, K, 9))
+        ).astype(np.float32)  # (B, M, K, 3+C) weights
+
+        def loss_xla(f):
+            g = ball_group(jnp.asarray(xyz), f, jnp.asarray(centers), r, K)
+            return jnp.sum(g * w)
+
+        def loss_pl(f):
+            g = ball_group_pallas(jnp.asarray(xyz), f, jnp.asarray(centers),
+                                  r, K, True, True)
+            return jnp.sum(g * jnp.asarray(w).transpose(0, 2, 1, 3))
+
+        want = np.asarray(jax.grad(loss_xla)(jnp.asarray(feat)))
+        got = np.asarray(jax.grad(loss_pl)(jnp.asarray(feat)))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    def test_sa_module_layouts_agree(self, monkeypatch):
+        """PointnetSAModule output is identical through the Pallas (K-major)
+        and XLA (M-major) grouping paths — the MLP + max-pool are
+        layout-agnostic."""
+        from ov3det.models.pointnet import PointnetSAModule
+
+        xyz, feat, _ = self._data(34, N=256, C=4)
+        sa = PointnetSAModule(npoint=32, radius=0.4, nsample=8,
+                              mlp_dims=(16, 32))
+        variables = sa.init(jax.random.PRNGKey(0), jnp.asarray(xyz),
+                            jnp.asarray(feat))
+
+        def run():
+            return sa.apply(variables, jnp.asarray(xyz), jnp.asarray(feat))
+
+        monkeypatch.setenv("OV3DET_BALLGROUP", "xla")
+        new_xyz_a, feats_a, inds_a = run()
+        monkeypatch.setenv("OV3DET_BALLGROUP", "pallas")
+        new_xyz_b, feats_b, inds_b = run()
+        np.testing.assert_array_equal(np.asarray(inds_a), np.asarray(inds_b))
+        np.testing.assert_allclose(
+            np.asarray(feats_a), np.asarray(feats_b), atol=2e-5, rtol=1e-5
+        )
