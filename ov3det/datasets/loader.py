@@ -94,6 +94,68 @@ def pack_batch(batch: dict):
     return np.concatenate(parts), tuple(metas)
 
 
+def _pack_cast(dt: np.dtype) -> np.dtype:
+    """pack_batch's dtype narrowing (x32 mode) as a pure dtype map."""
+    if dt == np.int64:
+        return np.dtype(np.int32)
+    if dt == np.float64:
+        return np.dtype(np.float32)
+    if dt == np.bool_:
+        return np.dtype(np.uint8)
+    return np.dtype(dt)
+
+
+def batch_metas(sample: dict, batch_size: int, with_valid_mask: bool):
+    """pack_batch metas for a batch of `batch_size` samples of `sample`'s
+    schema, computed WITHOUT building the batch.  Layout-identical to
+    pack_batch(collate(samples)) so unpack_batch round-trips either."""
+    items = {k: np.asarray(v) for k, v in sample.items()}
+    if with_valid_mask:
+        items["valid_mask"] = np.zeros(batch_size, np.float32)
+    metas = []
+    for k in sorted(items):
+        a = items[k]
+        dt = _pack_cast(a.dtype)
+        shape = a.shape if k == "valid_mask" else (batch_size,) + a.shape
+        size = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        metas.append((k, dt.str, shape, size))
+    return tuple(metas), sum(m[3] for m in metas)
+
+
+def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas):
+    """Write samples straight into a preallocated packed row (uint8 view
+    copies — no collate stack, no concatenate, no fresh allocation).  On
+    hosts with slow page faults every fresh multi-MB batch buffer costs
+    10-300 ms of first-touch; writing into a warm ring row is a plain
+    memcpy."""
+    off = 0
+    B = len(samples)
+    for k, dts, shape, size in metas:
+        if k == "valid_mask":
+            out_row[off : off + size] = (
+                valid_mask.astype(np.float32).view(np.uint8).ravel()
+            )
+            off += size
+            continue
+        nb = size // B
+        for s, smp in enumerate(samples):
+            a = np.atleast_1d(np.ascontiguousarray(smp[k]))
+            if a.dtype != np.dtype(dts):
+                a = a.astype(np.dtype(dts))
+            out_row[off + s * nb : off + (s + 1) * nb] = (
+                a.view(np.uint8).ravel()
+            )
+        off += size
+
+
+def _build_batch_direct(dataset, idxs, valid_mask, out_row, metas):
+    """Worker body for the zero-copy direct-write path."""
+    _pack_samples_into(
+        [dataset[int(i)] for i in idxs], valid_mask, out_row, metas
+    )
+    return True
+
+
 @partial(jax.jit, static_argnames=("metas",))
 def unpack_batch(buf, metas) -> dict:
     """Device-side inverse of pack_batch (slices + bitcasts, fully fused)."""
@@ -268,14 +330,47 @@ class DataLoader:
 
         pool = self._ensure_pool()
         packed = self.transfer in ("packed", "packed_device")
+        # zero-copy direct-write path: thread workers pack samples straight
+        # into rows of the reusable (G, nbytes) group buffers — no collate
+        # stack, no pack concatenate, no flush copy.  Only for in-process
+        # workers (processes can't see the ring) on the grouped device path.
+        direct = (
+            packed
+            and self.super_batch > 1
+            and self.sharding is not None
+            and self.worker_type == "thread"
+        )
+        if direct:
+            d_metas, d_nbytes = batch_metas(
+                self.dataset[0], local_b, with_valid_mask=not self.drop_last
+            )
+            # slot s is reused by group s + depth; the producer flushes
+            # group g (device_put copies it out) before submitting any job
+            # of group g + 2 + ceil(workers/G), so this depth is safe
+            d_depth = 3 + -(-self.num_workers // self.super_batch)
+            d_ring = [
+                np.empty((self.super_batch, d_nbytes), np.uint8)
+                for _ in range(d_depth)
+            ]
 
-        def submit(idxs, n_valid):
+        def local_mask(idxs, n_valid):
             local = idxs[pi * local_b : (pi + 1) * local_b]
             valid_mask = None
             if not self.drop_last:
                 # mask over GLOBAL batch positions; keep the local rows
                 mask = (np.arange(self.batch_size) < n_valid).astype(np.float32)
                 valid_mask = mask[pi * local_b : (pi + 1) * local_b]
+            return local, valid_mask
+
+        def submit(idxs, n_valid, job: int):
+            local, valid_mask = local_mask(idxs, n_valid)
+            if direct:
+                G = self.super_batch
+                row = d_ring[(job // G) % d_depth][job % G]
+                return pool.submit(
+                    _build_batch_direct, self.dataset, local, valid_mask,
+                    row, d_metas,
+                )
             if self.worker_type == "process":
                 return pool.submit(_worker_build_batch, local, valid_mask, packed)
             return pool.submit(_build_batch, self.dataset, local, valid_mask,
@@ -330,19 +425,43 @@ class DataLoader:
                     bufs = jax.device_put(bufs, self.sharding)
                 out_q.put((bufs, metas))
 
-            try:
+            j_submit = j_pop = 0
+
+            def submit_next():
+                nonlocal gen, j_submit
+                if gen is None:
+                    return False
                 try:
-                    while len(futs) < self.num_workers:
-                        futs.append(submit(*next(gen)))
+                    idxs, n_valid = next(gen)
                 except StopIteration:
                     gen = None
+                    return False
+                futs.append(submit(idxs, n_valid, j_submit))
+                j_submit += 1
+                return True
+
+            try:
+                while len(futs) < self.num_workers and submit_next():
+                    pass
                 while futs:
                     batch = futs.popleft().result()
-                    if gen is not None:
-                        try:
-                            futs.append(submit(*next(gen)))
-                        except StopIteration:
-                            gen = None
+                    submit_next()
+                    if direct:
+                        # worker already wrote row (j_pop % G) of its group
+                        # ring slot; ship the slot when its group completes
+                        G = self.super_batch
+                        rows = j_pop % G + 1
+                        last_of_group = rows == G
+                        last_overall = not futs and gen is None
+                        if last_of_group or last_overall:
+                            bufs = d_ring[(j_pop // G) % d_depth]
+                            if rows < G:  # final partial group: true length
+                                bufs = bufs[:rows]
+                            bufs = jax.device_put(bufs, self.sharding)
+                            out_q.put((bufs, d_metas))
+                        j_pop += 1
+                        continue
+                    j_pop += 1
                     if packed and self.super_batch > 1:
                         buf, metas = batch
                         assert not group or group[0][1] == metas

@@ -175,10 +175,12 @@ class SyntheticOVDataset(SyntheticDataset):
         d = super().__getitem__(idx)
         rng = np.random.default_rng(self.seed * 7919 + idx)
         # uint8 end-to-end: 4x less H2D than a float canvas; the teacher
-        # normalizes (and so promotes) on device
+        # normalizes (and so promotes) on device.  Native-uint8 generation:
+        # the default int64 draw + astype wrote 74 MB of intermediates per
+        # canvas batch and was ~6 ms/scene of the OV loader's host budget.
         d["image"] = rng.integers(
-            0, 256, size=(self.IMG_H, self.IMG_W, 3)
-        ).astype(np.uint8)
+            0, 256, size=(self.IMG_H, self.IMG_W, 3), dtype=np.uint8
+        )
         d["image_height"] = np.int32(self.IMG_H)
         d["image_width"] = np.int32(self.IMG_W)
         d["calib_Rtilt"] = self._RTILT

@@ -241,3 +241,31 @@ class TestPackedTransfer:
         want = unpack_batch(*singles[1])
         for k in want:
             np.testing.assert_array_equal(np.asarray(last[k]), np.asarray(want[k]))
+
+
+def test_direct_write_with_valid_mask_matches_tree():
+    """drop_last=False through the zero-copy direct-write grouped path:
+    valid_mask rides in the packed row and the pad batch masks correctly."""
+    import jax
+
+    from ov3det.datasets import SyntheticDataset
+    from ov3det.datasets.loader import DataLoader, unpack_batch
+
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    ds = SyntheticDataset(size=10, num_points=64)  # 3 batches, last padded
+    kw = dict(batch_size=4, shuffle=False, num_workers=2, drop_last=False,
+              sharding=sharding)
+    tree = list(DataLoader(ds, transfer="tree", **kw))
+    groups = list(DataLoader(ds, transfer="packed_device", super_batch=2,
+                             **kw))
+    flat = [(bufs[g], metas) for bufs, metas in groups
+            for g in range(bufs.shape[0])]
+    assert len(tree) == len(flat) == 3
+    for t, (gb, gm) in zip(tree, flat):
+        u = unpack_batch(gb, gm)
+        assert set(u) == set(t)
+        for k in t:
+            np.testing.assert_array_equal(np.asarray(u[k]), np.asarray(t[k]))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_batch(*flat[-1])["valid_mask"]), [1, 1, 0, 0]
+    )
