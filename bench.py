@@ -341,6 +341,38 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     return rate, f_ms, d_ms
 
 
+def check_backend(timeout_s: float = 240.0) -> bool:
+    """Probe device init with a deadline: the remote-tunnel backend can be
+    down for hours (init hangs or raises UNAVAILABLE), and a silent hang
+    here would eat the whole driver timeout and leave NO output at all.
+    On failure, emit an explicit error JSON line and return False."""
+    import threading
+
+    got = {}
+
+    def probe():
+        try:
+            got["devices"] = jax.devices()
+        except Exception as exc:  # backend raised (e.g. UNAVAILABLE)
+            got["error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in got:
+        return True
+    err = got.get("error", f"device init still hanging after {timeout_s:.0f}s")
+    emit({
+        "metric": "train_scenes_per_sec_per_chip_sunrgbd_e2e",
+        "value": None,
+        "unit": "scenes/sec/chip",
+        "vs_baseline": None,
+        "error": f"accelerator backend unavailable: {err}",
+    })
+    note(f"backend unavailable: {err}")
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", nargs="?", default="all",
@@ -353,6 +385,8 @@ def main():
                     "teacher mode (expensive; opt-in)")
     args = ap.parse_args()
     budget = Budget(args.budget)
+    if not check_backend():
+        return
     cfg = sunrgbd_quick()
 
     extras = {}
