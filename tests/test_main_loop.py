@@ -121,3 +121,35 @@ def test_profile_and_debug_nans_flags(tmp_path):
         assert traces, f"no profiler trace under {prof}"
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+@pytest.mark.slow
+def test_train_loop_super_batch(tmp_path):
+    """--super_batch 2 routes training through the grouped packed_device
+    transfer: the zero-copy direct-write loader rings + per-row group
+    dispatches (engine.make_packed_group_step) carry the whole epoch."""
+    from ov3det.main import main as cli_main
+
+    run = tmp_path / "run_sb"
+    argv = [
+        "--dataset_name", "synthetic",
+        "--checkpoint_dir", str(run),
+        "--max_epoch", "1",
+        "--eval_every_epoch", "5",
+        "--batchsize_per_gpu", "4",
+        "--num_points", "256",
+        "--preenc_npoints", "64",
+        "--enc_nlayers", "1", "--enc_dim", "32", "--enc_ffn_dim", "32",
+        "--dec_nlayers", "1", "--dec_dim", "32", "--dec_ffn_dim", "32",
+        "--nqueries", "16", "--mlp_dropout", "0.0",
+        "--super_batch", "2",
+        "--log_every", "4",
+    ]
+    cli_main(argv)
+    assert os.path.isfile(os.path.join(str(run), "final_eval.txt"))
+    import json
+
+    scalars = [json.loads(line)
+               for line in open(os.path.join(str(run), "scalars.jsonl"))]
+    losses = [s["Train/loss"] for s in scalars if "Train/loss" in s]
+    assert losses and all(np.isfinite(l) for l in losses), losses
