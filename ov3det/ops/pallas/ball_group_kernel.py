@@ -62,7 +62,11 @@ def _kernel(pts_ref, centers_ref, out_ref, first, found, has_all, *,
     cz = cpad[:, 2:3]
     first[:, :] = cpad  # no-hit-anywhere fallback: the center itself
     found[:, :] = jnp.zeros((TM, 1), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TM, Nb), 1)
+    # float lane index: Mosaic's reduce-index lowering (argmax/argmin) only
+    # supports f32 operands, and bool reduces (any) are equally off-limits,
+    # so "first in-ball lane" is expressed as a plain f32 min-reduce over a
+    # masked iota and "any hit" as an f32 max-reduce
+    colf = jax.lax.broadcasted_iota(jnp.int32, (TM, Nb), 1).astype(jnp.float32)
 
     def pick_pass(k, _):
         ptsk = pts_ref[0, k]  # (P, Nb)
@@ -71,11 +75,14 @@ def _kernel(pts_ref, centers_ref, out_ref, first, found, has_all, *,
         dz = cz - ptsk[2:3, :]
         d2 = dx * dx + dy * dy + dz * dz  # (TM, Nb)
         in_ball = d2 < r2  # xyz padding is 1e6 -> never in ball
-        pick = jnp.argmax(in_ball, axis=-1).astype(jnp.int32)  # first hit
-        has = jnp.any(in_ball, axis=-1).astype(jnp.float32)[:, None]  # (TM,1)
-        onehot = jnp.where(
-            (col == pick[:, None]) & (has > 0.0), 1.0, 0.0
-        )  # (TM, Nb) f32
+        in_ballf = jnp.where(in_ball, 1.0, 0.0)  # (TM, Nb) f32
+        # first hit = min masked lane id; Nb when the ball is empty (no lane
+        # equals Nb, so the one-hot row is then all-zero without gating)
+        pick = jnp.min(
+            jnp.where(in_ball, colf, jnp.float32(Nb)), axis=-1
+        )[:, None]  # (TM, 1) f32
+        has = jnp.max(in_ballf, axis=-1)[:, None]  # (TM, 1)
+        onehot = jnp.where(colf == pick, 1.0, 0.0)  # (TM, Nb) f32
         g = jax.lax.dot_general(
             onehot, ptsk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
