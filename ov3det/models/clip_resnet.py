@@ -96,12 +96,16 @@ class AttentionPool2d(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, C) -> (B, output_dim)."""
         B, H, W, C = x.shape
-        # token assembly + positional add in f32 (tiny; keeps the mean and
-        # the softmax numerics exact)...
-        xf = x.astype(jnp.float32)
-        tokens = xf.reshape(B, H * W, C)
-        mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
-        tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (B, 1+HW, C)
+        # tokens stay in the tower's compute dtype end-to-end: a f32
+        # round-trip here costs two full-tensor cast kernels per chunk
+        # (~7 ms/step at teacher scale, measured) that the MXU matmuls
+        # never amortize.  Only the mean reduction runs in f32 (the pooled
+        # query is a 1-token tensor; exactness is free there)...
+        tokens = x.reshape(B, H * W, C)
+        mean_tok = jnp.mean(tokens.astype(jnp.float32), axis=1, keepdims=True)
+        tokens = jnp.concatenate(
+            [mean_tok.astype(tokens.dtype), tokens], axis=1
+        )  # (B, 1+HW, C)
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=C**-0.5),
@@ -115,7 +119,9 @@ class AttentionPool2d(nn.Module):
             grid = grid.reshape(side, side, C)
             grid = jax.image.resize(grid, (H, W, C), method="bilinear")
             pos = jnp.concatenate([cls_pos, grid.reshape(H * W, C)], axis=0)
-        tokens = tokens + pos[None]
+        # ...and the positional add follows the token dtype (the q/k/v
+        # Dense layers would round to compute dtype right after anyway)
+        tokens = tokens + pos[None].astype(tokens.dtype)
 
         # ...but the k/v projections — the head's dominant FLOPs AND
         # bandwidth (CxC = 2560x2560 weight panels streamed per chunk at
@@ -208,5 +214,6 @@ class CLIPResNetRes5Head(nn.Module):
             num_heads=heads,
             spacial_dim=self.image_resolution // 32,
             output_dim=self.embed_dim,
+            dtype=self.dtype,
             name="attnpool",
         )(x)

@@ -132,11 +132,14 @@ def roi_align_batched(
 
     wy = interp(y1, bin_h, H).astype(dtype)
     wx = interp(x1, bin_w, W).astype(dtype)
-    rows = jnp.einsum(
-        "bqih,bhwc->bqiwc", wy, features,
+    # contract the LARGER image axis first so the materialized intermediate
+    # carries the smaller one: (B,Q,out,H,C) with H=34 vs (B,Q,out,W,C) with
+    # W=46 at teacher scale is ~25% less HBM traffic on a bandwidth-bound op
+    cols = jnp.einsum(
+        "bqjw,bhwc->bqjhc", wx, features,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
     return jnp.einsum(
-        "bqjw,bqiwc->bqijc", wx, rows,
+        "bqih,bqjhc->bqijc", wy, cols,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
