@@ -313,7 +313,11 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
              budget: Budget):
     from dataclasses import replace
 
-    from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
+    from ov3det.models.regionclip import (
+        RegionCLIPTeacher,
+        cast_teacher_params,
+        make_teacher_fn,
+    )
 
     ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
     # RN50x4 (width 80, layers (4,6,10,6)); bfloat16 trunk = TPU-fast frozen teacher
@@ -322,6 +326,9 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     t_vars = jax.jit(
         lambda: teacher.init(jax.random.PRNGKey(0), init_img, jnp.zeros((1, 1, 4)))
     )()
+    # pre-cast the frozen weights: ~350MB of in-step f32->bf16 casts
+    # (~7 ms/step) hoisted to load time
+    t_vars = cast_teacher_params(t_vars, "bfloat16")
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
     state, run_step, _, _ = build(ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 

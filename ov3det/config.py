@@ -167,6 +167,12 @@ class TeacherConfig:
     checkpoint_path: Optional[str] = None
     text_embed_path: Optional[str] = None
     image_size: tuple[int, int] = (530, 730)
+    # compute dtype of the frozen tower ("bfloat16" | "float32").  The
+    # teacher carries no gradients, so bf16 is the production default
+    # (MXU convs, halved HBM traffic; parity vs f32 is golden-tested in
+    # tests/test_teacher_parity.py).  Weights are pre-cast once at load —
+    # see models/regionclip.cast_teacher_params.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,10 @@ def make_args_parser():
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
     p.add_argument("--region_clip_ckpt_path", type=str, default=None)
+    p.add_argument("--teacher_compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype of the frozen RegionCLIP tower "
+                   "(bf16 = TPU-fast default; f32 = parity mode)")
     p.add_argument("--feature_2d_dir", type=str, default=None)
     p.add_argument("--use_pbox", default=False, action="store_true")
     p.add_argument("--use_2d_feature", default=False, action="store_true",
@@ -235,6 +239,7 @@ def config_from_args(args) -> TrainConfig:
             enabled=args.use_image,
             checkpoint_path=args.region_clip_ckpt_path,
             text_embed_path=args.clip_embed_path,
+            compute_dtype=args.teacher_compute_dtype,
         ),
         max_epoch=args.max_epoch,
         eval_every_epoch=args.eval_every_epoch,
@@ -271,11 +276,16 @@ def build_teacher_fn(cfg, example_batch):
     loss (reference criterion.py:363-399 runs it inside the criterion)."""
     from ov3det.models.regionclip import (
         RegionCLIPTeacher,
+        cast_teacher_params,
         convert_torch_checkpoint,
         make_teacher_fn,
     )
 
-    teacher = RegionCLIPTeacher(embed_dim=cfg.model.clip_embed_dim)
+    dtype = cfg.teacher.compute_dtype
+    teacher = RegionCLIPTeacher(
+        embed_dim=cfg.model.clip_embed_dim,
+        compute_dtype=dtype if dtype != "float32" else None,
+    )
     if cfg.teacher.checkpoint_path:
         variables = convert_torch_checkpoint(cfg.teacher.checkpoint_path)
     else:
@@ -286,6 +296,7 @@ def build_teacher_fn(cfg, example_batch):
         variables = jax.jit(
             lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
         )()
+    variables = cast_teacher_params(variables, dtype)
     return make_teacher_fn(teacher, per_layer=cfg.loss.teacher_per_layer), variables
 
 

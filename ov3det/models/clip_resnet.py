@@ -85,6 +85,26 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _ProjParams(nn.Module):
+    """Parameter-only stand-in for an nn.Dense whose matmul is folded away.
+
+    Declares the exact {kernel, bias} the checkpoint converter writes for
+    the attnpool k/v projections (same names, shapes, and default inits as
+    nn.Dense) without running the (tokens x CxC) matmul — see the
+    single-query folding note in AttentionPool2d.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class AttentionPool2d(nn.Module):
     embed_dim: int
     num_heads: int
@@ -123,26 +143,46 @@ class AttentionPool2d(nn.Module):
         # Dense layers would round to compute dtype right after anyway)
         tokens = tokens + pos[None].astype(tokens.dtype)
 
-        # ...but the k/v projections — the head's dominant FLOPs AND
-        # bandwidth (CxC = 2560x2560 weight panels streamed per chunk at
-        # teacher scale) — follow the tower's compute dtype; attention
-        # logits/softmax accumulate and normalize in f32
-        proj = partial(nn.Dense, dtype=self.dtype)
-        q = proj(C, name="q_proj")(tokens[:, :1])
-        k = proj(C, name="k_proj")(tokens)
-        v = proj(C, name="v_proj")(tokens)
+        # Single-query folding: the pool has exactly ONE query (the mean
+        # token), so the k/v projections over all 1+HW tokens — the head's
+        # dominant FLOPs, ~2.1 GFLOP/region of CxC=2560x2560 matmuls at
+        # teacher scale — collapse algebraically:
+        #   logits_h(x_k) = q_h . (x_k K_h + b_k,h) = x_k . (K_h q_h) + const_h
+        #     (the q.b_k term is a per-head constant shift — softmax-invariant)
+        #   sum_k a_k v(x_k)_h = (sum_k a_k x_k) V_h + b_v,h   since sum_k a_k = 1
+        # i.e. fold K into a per-head C-vector u_h = K_h q_h, attend over RAW
+        # tokens, and apply V to the single pooled token.  ~35x fewer FLOPs,
+        # exact up to reassociation (torch-oracle parity-tested).  The params
+        # keep nn.Dense's exact {kernel,bias} layout for the converter.
         hd = C // self.num_heads
-        q = q.reshape(B, 1, self.num_heads, hd)
-        k = k.reshape(B, -1, self.num_heads, hd)
-        v = v.reshape(B, -1, self.num_heads, hd)
+        nh = self.num_heads
+        q = nn.Dense(C, dtype=self.dtype, name="q_proj")(tokens[:, :1])
+        k_kernel, _k_bias = _ProjParams(C, name="k_proj")(C)
+        v_kernel, v_bias = _ProjParams(C, name="v_proj")(C)
+        if self.dtype is not None:  # same promote nn.Dense(dtype=...) applied
+            k_kernel = k_kernel.astype(self.dtype)
+            v_kernel = v_kernel.astype(self.dtype)
+            v_bias = v_bias.astype(self.dtype)
+        q = q.reshape(B, nh, hd)
+        # u_h = K_h q_h: fold the key projection through the single query
+        u = jnp.einsum(
+            "bhd,chd->bhc", q, k_kernel.reshape(C, nh, hd), precision=_HI,
+            preferred_element_type=jnp.float32,
+        ).astype(tokens.dtype)
         attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, precision=_HI,
+            "bkc,bhc->bhk", tokens, u, precision=_HI,
             preferred_element_type=jnp.float32,
         ) / jnp.sqrt(hd)
         attn = jax.nn.softmax(attn, axis=-1)
+        # pooled raw token per head, then one v-projection of that token
+        z = jnp.einsum(
+            "bhk,bkc->bhc", attn, tokens.astype(jnp.float32), precision=_HI,
+        )
         out = jnp.einsum(
-            "bhqk,bkhd->bqhd", attn, v.astype(jnp.float32), precision=_HI,
-        ).reshape(B, 1, C)
+            "bhc,chd->bhd", z.astype(v_kernel.dtype), v_kernel.reshape(C, nh, hd),
+            precision=_HI, preferred_element_type=jnp.float32,
+        ) + v_bias.reshape(nh, hd)
+        out = out.reshape(B, 1, C)
         return nn.Dense(self.output_dim, name="c_proj")(out)[:, 0]
 
 

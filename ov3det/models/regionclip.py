@@ -96,6 +96,47 @@ class RegionCLIPTeacher(nn.Module):
         return jnp.concatenate(embs, axis=1) if len(embs) > 1 else embs[0]
 
 
+def cast_teacher_params(variables, compute_dtype: Optional[str] = "bfloat16"):
+    """Pre-cast the frozen tower's matmul weights to the compute dtype.
+
+    flax's promote_dtype re-casts every f32 param to the module dtype on
+    EVERY apply — at RN50x4 scale that is ~350MB of f32 reads and ~1000
+    cast kernels inside each train step (~7 ms/step measured on v5e).  The
+    teacher is frozen, so cast once at load time; numerics are identical
+    (same f32->bf16 rounding, just hoisted out of the step).
+
+    Kept in f32: FrozenBatchNorm stats (folded in f32 before applying) and
+    the attnpool c_proj (the head's f32 output projection).
+    """
+    if compute_dtype != "bfloat16":
+        return variables
+
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                out[k] = walk(v, p)
+            elif (
+                "c_proj" not in p
+                # the attnpool positional grid may be bilinearly resized at
+                # apply time — resizing a pre-rounded bf16 grid diverges
+                # from the module's f32-resize-then-cast; keep it f32 (tiny)
+                and p[-1] != "positional_embedding"
+                and not (len(p) > 1 and (p[-2].startswith("bn") or p[-2] == "downsample_bn"))
+                and v.dtype == jnp.float32
+            ):
+                out[k] = v.astype(jnp.bfloat16)
+            else:
+                out[k] = v
+        return out
+
+    import flax.core
+
+    raw = flax.core.unfreeze(variables) if not isinstance(variables, dict) else variables
+    return walk(raw, ())
+
+
 def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):
     """Build the criterion hook: (variables, batch, outputs) -> region feats.
 

@@ -135,6 +135,38 @@ class TestTeacherTower:
         assert out.shape == (2, 2, 64)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_cast_teacher_params_exact(self):
+        """Pre-casting the frozen weights to bf16 is numerically identical
+        to flax's per-apply promote_dtype cast (same rounding, hoisted)."""
+        from ov3det.models.regionclip import RegionCLIPTeacher, cast_teacher_params
+
+        teacher = RegionCLIPTeacher(width=16, layers=(1, 1, 1, 1), embed_dim=64,
+                                    compute_dtype="bfloat16",
+                                    pooler_resolution=6, image_resolution=64,
+                                    roi_chunk_regions=8)
+        rng = np.random.default_rng(7)
+        images = jnp.asarray(rng.uniform(0, 255, (2, 64, 96, 3)).astype(np.float32))
+        xy = rng.uniform(5, 30, (2, 4, 2)).astype(np.float32)
+        wh = rng.uniform(8, 40, (2, 4, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        v = teacher.init(jax.random.PRNGKey(0), images, boxes)
+        vc = cast_teacher_params(v, "bfloat16")
+        a = np.asarray(teacher.apply(v, images, boxes))
+        b = np.asarray(teacher.apply(vc, images, boxes))
+        np.testing.assert_array_equal(a, b)
+        # BN stats and c_proj stay f32; conv/dense kernels go bf16
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(vc))
+        for path, leaf in flat.items():
+            name = "/".join(path)
+            if "bn" in name or "c_proj" in name:
+                assert leaf.dtype == jnp.float32, name
+            elif path[-1] == "kernel":
+                assert leaf.dtype == jnp.bfloat16, name
+        # float32 mode is a no-op
+        assert cast_teacher_params(v, "float32") is v
+
 
 class TestTeacherInTraining:
     def test_train_step_with_2d_alignment(self):
