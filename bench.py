@@ -74,6 +74,7 @@ OV_WARMUP = 2
 OV_ITERS = 4  # items/window at OV_SUPER batches each
 OV_PL_ITERS = 4
 IMG_H, IMG_W = SyntheticOVDataset.IMG_H, SyntheticOVDataset.IMG_W
+QUANTIZE = ("point_clouds",)  # q16 H2D codec (datasets/loader.py)
 # TPU v5e peak dense bf16 matmul throughput (public spec) — MFU denominator
 V5E_PEAK_FLOPS = 197e12
 
@@ -227,6 +228,11 @@ def make_loader(ds, super_batch=1):
         sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]),
         worker_type="thread", transfer="packed_device",
         super_batch=super_batch,
+        # q16 point codec: points are ~95% of the point-only batch bytes and
+        # the tunnel H2D (~50 MB/s, serializing against in-flight compute)
+        # is the e2e bottleneck — halving the put is worth ~0.1 mm of
+        # quantization noise (loader.py codec notes)
+        quantize=QUANTIZE,
     )
 
 
@@ -280,8 +286,11 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step,
     bufs, metas = [], None
     for g in range(SUPER):
         items = [ds[g * BATCH + i] for i in range(BATCH)]
+        # same q16 codec as the e2e loader so this section REUSES the
+        # group-step program the e2e section already compiled
         b, metas = pack_batch(
-            {k: np.stack([it[k] for it in items]) for k in items[0]}
+            {k: np.stack([it[k] for it in items]) for k in items[0]},
+            quantize=QUANTIZE,
         )
         bufs.append(b)
     group = (
@@ -345,7 +354,37 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     loader.shutdown()
     note(f"ov{'-per-layer' if per_layer else ''} {rate:.2f} scenes/s "
          f"(fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
-    return rate, f_ms, d_ms
+
+    step_only = None
+    if not per_layer and budget.allows(120):
+        # device-compute ceiling for the OV step: ONE staged group buffer,
+        # chained dispatches, zero H2D in the loop — REUSES the exact
+        # program the e2e windows compiled (same metas), so this adds no
+        # standup cost.  On the tunnel transport the image bytes
+        # (~1.2 MB/scene at ~50 MB/s) cap the e2e number; this records
+        # what the compute path delivers on directly-attached hardware.
+        from ov3det.datasets.loader import pack_batch
+
+        note("ov step-only: chained groups on a staged device buffer")
+        bufs, metas = [], None
+        for g in range(OV_SUPER):
+            items = [ds[g * BATCH + i] for i in range(BATCH)]
+            b, metas = pack_batch(
+                {k: np.stack([it[k] for it in items]) for k in items[0]},
+                quantize=QUANTIZE,
+            )
+            bufs.append(b)
+        group = (
+            jax.device_put(
+                np.stack(bufs),
+                jax.sharding.SingleDeviceSharding(jax.devices()[0]),
+            ),
+            metas,
+        )
+        dt, n = time_loop(run_step, state, [group] * (1 + max(OV_ITERS, 3)), 1)
+        step_only = OV_SUPER * BATCH * n / dt
+        note(f"ov step-only {step_only:.1f} scenes/s")
+    return rate, f_ms, d_ms, step_only
 
 
 def check_backend(timeout_s: float = 240.0) -> bool:
@@ -422,7 +461,7 @@ def main():
             emit(result)
             return
         try:
-            rate, f_ms, d_ms = bench_ov(
+            rate, f_ms, d_ms, ov_so = bench_ov(
                 cfg, False, OV_WARMUP, OV_ITERS, 3, budget
             )
             result["ov_scenes_per_sec"] = round(rate, 3)
@@ -430,6 +469,11 @@ def main():
             result["ov_super_batch"] = OV_SUPER
             result["ov_fetch_ms_per_item"] = round(f_ms, 1)
             result["ov_dispatch_ms_per_item"] = round(d_ms, 1)
+            if ov_so is not None:
+                result["ov_step_only_scenes_per_sec"] = round(ov_so, 3)
+                result["ov_step_only_vs_baseline"] = round(
+                    ov_so / REFERENCE_SCENES_PER_SEC, 3
+                )
         except Exception as exc:  # pragma: no cover - keep the headline alive
             result["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
         emit(result)
@@ -439,7 +483,7 @@ def main():
                 result["skipped_ov_per_layer"] = "budget"
             else:
                 try:
-                    rate, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1, budget)
+                    rate, _, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1, budget)
                     result["ov_per_layer_scenes_per_sec"] = round(rate, 3)
                 except Exception as exc:  # pragma: no cover
                     result["ov_per_layer_error"] = f"{type(exc).__name__}: {exc}"[:200]

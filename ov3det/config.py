@@ -157,6 +157,9 @@ class DataConfig:
     # group G batches into one H2D transfer + one scanned dispatch
     # (single-device packed path only; see datasets/loader.py super_batch)
     super_batch: int = 1
+    # ship point clouds as per-sample-scaled uint16 on the packed H2D path
+    # (~0.1 mm quantization noise, halves the transfer; loader.py q16 codec)
+    quantize_points: bool = False
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def collate(samples: list[dict]) -> dict:
@@ -42,7 +43,7 @@ def _worker_init(ds_bytes: bytes):
     _WORKER_DATASET = pickle.loads(ds_bytes)
 
 
-def _build_batch(dataset, idxs, valid_mask, packed: bool):
+def _build_batch(dataset, idxs, valid_mask, packed: bool, quantize=()):
     """Fetch + collate (+ pack) one whole batch; runs INSIDE a worker.
 
     Batch-level parallelism (torch DataLoader semantics: each worker owns
@@ -54,11 +55,11 @@ def _build_batch(dataset, idxs, valid_mask, packed: bool):
     batch = collate([dataset[int(i)] for i in idxs])
     if valid_mask is not None:
         batch["valid_mask"] = valid_mask
-    return pack_batch(batch) if packed else batch
+    return pack_batch(batch, quantize) if packed else batch
 
 
-def _worker_build_batch(idxs, valid_mask, packed):
-    return _build_batch(_WORKER_DATASET, idxs, valid_mask, packed)
+def _worker_build_batch(idxs, valid_mask, packed, quantize=()):
+    return _build_batch(_WORKER_DATASET, idxs, valid_mask, packed, quantize)
 
 
 # --- packed single-buffer transfer --------------------------------------
@@ -72,16 +73,62 @@ def _worker_build_batch(idxs, valid_mask, packed):
 
 _PACK_KEY = "__packed__"
 
+# --- q16 transfer codec ---------------------------------------------------
+# Opt-in per-array uint16 quantization for the packed H2D path.  On
+# transports where the host->device link is the e2e bottleneck (the
+# remote-tunnel PJRT client this repo benches on moves ~50 MB/s and
+# serializes puts against in-flight compute), the f32 point clouds are
+# ~95% of the batch bytes; shipping them as per-sample min/max-scaled
+# uint16 halves the put and the dequant fuses into the on-device unpack.
+# Worst-case reconstruction error is range/65535/2 (~0.1 mm for a 10 m
+# scene) — two orders of magnitude below depth-sensor noise.  Layout per
+# sample: [min f32[C] | max f32[C] | u16 payload (N*C)].
 
-def pack_batch(batch: dict):
+_Q16_TAG = "q16"
+
+
+def _q16_eligible(key: str, dtype, sample_ndim: int, quantize) -> bool:
+    """The codec applies to float32 per-sample matrices (N, C) only; an
+    ineligible key in `quantize` silently packs verbatim so callers can
+    pass ("point_clouds",) regardless of dataset schema."""
+    return key in quantize and np.dtype(dtype) == np.float32 and sample_ndim >= 2
+
+
+def _q16_sample_bytes(sample_shape) -> int:
+    C = sample_shape[-1]
+    n = int(np.prod(sample_shape, dtype=np.int64))
+    return 8 * C + 2 * n
+
+
+def _q16_encode(a: np.ndarray) -> np.ndarray:
+    """One sample (N, C) f32 -> contiguous uint8 row (see layout above)."""
+    C = a.shape[-1]
+    flat = np.ascontiguousarray(a, np.float32).reshape(-1, C)
+    mn = flat.min(axis=0)
+    mx = flat.max(axis=0)
+    scale = np.float32(65535.0) / np.maximum(mx - mn, np.float32(1e-12))
+    q = np.clip(np.rint((flat - mn) * scale), 0.0, 65535.0).astype(np.uint16)
+    return np.concatenate(
+        [mn.view(np.uint8), mx.view(np.uint8), q.view(np.uint8).ravel()]
+    )
+
+
+def pack_batch(batch: dict, quantize=()):
     """Host-side: dict of np arrays -> (uint8 buffer, static metas).
 
     64-bit ints/floats are narrowed to 32-bit (matching what device_put
-    does under JAX's default x32 mode) and bools widen to uint8.
+    does under JAX's default x32 mode) and bools widen to uint8.  Keys in
+    `quantize` that are float32 (B, N, C) ship q16-encoded (see codec
+    notes above); unpack_batch dequantizes on device.
     """
     metas, parts = [], []
     for k in sorted(batch):
         a = np.ascontiguousarray(batch[k])
+        if _q16_eligible(k, a.dtype, a.ndim - 1, quantize):
+            rows = [_q16_encode(a[b]) for b in range(a.shape[0])]
+            metas.append((k, _Q16_TAG, a.shape, a.shape[0] * rows[0].size))
+            parts.extend(rows)
+            continue
         if a.dtype == np.int64:
             a = a.astype(np.int32)
         elif a.dtype == np.float64:
@@ -105,16 +152,23 @@ def _pack_cast(dt: np.dtype) -> np.dtype:
     return np.dtype(dt)
 
 
-def batch_metas(sample: dict, batch_size: int, with_valid_mask: bool):
+def batch_metas(sample: dict, batch_size: int, with_valid_mask: bool,
+                quantize=()):
     """pack_batch metas for a batch of `batch_size` samples of `sample`'s
     schema, computed WITHOUT building the batch.  Layout-identical to
-    pack_batch(collate(samples)) so unpack_batch round-trips either."""
+    pack_batch(collate(samples), quantize) so unpack_batch round-trips
+    either."""
     items = {k: np.asarray(v) for k, v in sample.items()}
     if with_valid_mask:
         items["valid_mask"] = np.zeros(batch_size, np.float32)
     metas = []
     for k in sorted(items):
         a = items[k]
+        if k != "valid_mask" and _q16_eligible(k, a.dtype, a.ndim, quantize):
+            shape = (batch_size,) + a.shape
+            size = batch_size * _q16_sample_bytes(a.shape)
+            metas.append((k, _Q16_TAG, shape, size))
+            continue
         dt = _pack_cast(a.dtype)
         shape = a.shape if k == "valid_mask" else (batch_size,) + a.shape
         size = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
@@ -138,6 +192,13 @@ def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas):
             off += size
             continue
         nb = size // B
+        if dts == _Q16_TAG:
+            for s, smp in enumerate(samples):
+                out_row[off + s * nb : off + (s + 1) * nb] = _q16_encode(
+                    np.asarray(smp[k])
+                )
+            off += size
+            continue
         for s, smp in enumerate(samples):
             a = np.atleast_1d(np.ascontiguousarray(smp[k]))
             if a.dtype != np.dtype(dts):
@@ -158,11 +219,26 @@ def _build_batch_direct(dataset, idxs, valid_mask, out_row, metas):
 
 @partial(jax.jit, static_argnames=("metas",))
 def unpack_batch(buf, metas) -> dict:
-    """Device-side inverse of pack_batch (slices + bitcasts, fully fused)."""
+    """Device-side inverse of pack_batch (slices + bitcasts, fully fused);
+    q16 arrays dequantize in the same fused program."""
     out, off = {}, 0
     for k, dts, shape, size in metas:
-        dt = np.dtype(dts)
         seg = jax.lax.slice(buf, (off,), (off + size,))
+        if dts == _Q16_TAG:
+            B, C = shape[0], shape[-1]
+            rows = seg.reshape(B, size // B)
+            hdr = jax.lax.bitcast_convert_type(
+                rows[:, : 8 * C].reshape(B, 2, C, 4), jnp.float32
+            )
+            q = jax.lax.bitcast_convert_type(
+                rows[:, 8 * C :].reshape(B, -1, C, 2), jnp.uint16
+            )
+            mn = hdr[:, :1]  # (B, 1, C) broadcasts over the N axis
+            scale = (hdr[:, 1:] - mn) * (1.0 / 65535.0)
+            out[k] = (mn + q.astype(jnp.float32) * scale).reshape(shape)
+            off += size
+            continue
+        dt = np.dtype(dts)
         if dt.itemsize > 1:
             arr = jax.lax.bitcast_convert_type(seg.reshape(-1, dt.itemsize), dt)
         elif dt != np.uint8:
@@ -205,6 +281,7 @@ class DataLoader:
         worker_type: str = "thread",
         transfer: str = "tree",
         super_batch: int = 1,
+        quantize: tuple = (),
     ):
         """batch_size is the GLOBAL batch; under multi-host each process
         fetches batch_size / process_count samples per step.  Without a
@@ -262,6 +339,10 @@ class DataLoader:
         )
         self.super_batch = super_batch
         self.transfer = transfer
+        self.quantize = tuple(quantize)
+        assert not self.quantize or transfer != "tree", (
+            "the q16 codec rides the packed transfer layout"
+        )
         self._pool = None
         assert batch_size % self.process_count == 0, (batch_size, self.process_count)
         self._epoch = 0
@@ -342,7 +423,8 @@ class DataLoader:
         )
         if direct:
             d_metas, d_nbytes = batch_metas(
-                self.dataset[0], local_b, with_valid_mask=not self.drop_last
+                self.dataset[0], local_b,
+                with_valid_mask=not self.drop_last, quantize=self.quantize,
             )
             # slot s is reused by group s + depth; the producer flushes
             # group g (device_put copies it out) before submitting any job
@@ -372,9 +454,10 @@ class DataLoader:
                     row, d_metas,
                 )
             if self.worker_type == "process":
-                return pool.submit(_worker_build_batch, local, valid_mask, packed)
+                return pool.submit(_worker_build_batch, local, valid_mask,
+                                   packed, self.quantize)
             return pool.submit(_build_batch, self.dataset, local, valid_mask,
-                               packed)
+                               packed, self.quantize)
 
         def producer():
             # batch-level pipeline: keep up to num_workers batches in

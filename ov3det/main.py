@@ -108,6 +108,10 @@ def make_args_parser():
                    help="group G batches into one H2D transfer + one "
                    "scanned train dispatch (single-device runs; per-iter "
                    "logging coarsens to every G iters)")
+    p.add_argument("--quantize_points", default=False, action="store_true",
+                   help="ship point clouds as per-sample uint16 on the "
+                   "packed H2D path (~0.1 mm quantization noise; halves "
+                   "the transfer on bandwidth-bound links)")
     p.add_argument("--num_points", default=None, type=int)
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
@@ -234,6 +238,7 @@ def config_from_args(args) -> TrainConfig:
             num_workers=args.dataset_num_workers,
             batch_size_per_device=args.batchsize_per_gpu,
             super_batch=args.super_batch,
+            quantize_points=args.quantize_points,
         ),
         teacher=TeacherConfig(
             enabled=args.use_image,
@@ -375,6 +380,11 @@ def do_train(cfg: TrainConfig, args=None):
         # super_batch>1 groups G batches into one put + one scan dispatch
         transfer=train_transfer,
         super_batch=super_batch,
+        quantize=(
+            ("point_clouds",)
+            if cfg.data.quantize_points and train_transfer != "tree"
+            else ()
+        ),
     )
     test_loader = DataLoader(
         datasets["test"],

@@ -269,3 +269,83 @@ def test_direct_write_with_valid_mask_matches_tree():
     np.testing.assert_array_equal(
         np.asarray(unpack_batch(*flat[-1])["valid_mask"]), [1, 1, 0, 0]
     )
+
+
+def test_q16_codec_roundtrip_and_direct_layout():
+    """The q16 transfer codec (datasets/loader.py) reconstructs points to
+    within half a quantization step of the per-sample range, leaves other
+    arrays bit-exact, and the zero-copy direct-write layout matches
+    pack_batch byte-for-byte (so both producer paths feed one program)."""
+    from ov3det.datasets.loader import (_pack_samples_into, batch_metas,
+                                        pack_batch, unpack_batch)
+
+    rng = np.random.default_rng(3)
+    B, N, C = 4, 500, 3
+    batch = {
+        "point_clouds": (rng.standard_normal((B, N, C)) * 2.5).astype(
+            np.float32
+        ),
+        "labels": rng.integers(0, 9, (B, 16)).astype(np.int64),
+    }
+    q = ("point_clouds",)
+    buf, metas = pack_batch(batch, quantize=q)
+    plain, _ = pack_batch(batch)
+    assert buf.size < 0.55 * plain.size  # the put really halves
+    out = unpack_batch(buf, metas)
+    pc = np.asarray(out["point_clouds"])
+    step = (
+        batch["point_clouds"].max(1) - batch["point_clouds"].min(1)
+    ) / 65535.0  # (B, C)
+    err = np.abs(pc - batch["point_clouds"])
+    assert (err <= 0.55 * step[:, None, :] + 1e-6).all()
+    np.testing.assert_array_equal(np.asarray(out["labels"]), batch["labels"])
+
+    samples = [{k: batch[k][b] for k in batch} for b in range(B)]
+    m2, nbytes = batch_metas(samples[0], B, with_valid_mask=False, quantize=q)
+    assert m2 == metas
+    row = np.empty(nbytes, np.uint8)
+    _pack_samples_into(samples, None, row, m2)
+    np.testing.assert_array_equal(row, buf)
+
+
+def test_q16_loader_feeds_a_train_step():
+    """End-to-end: a quantized packed_device super-batch loader drives the
+    packed group step; the loss matches the unquantized loader's loss to
+    the quantization-noise level (the codec is a transfer detail, not a
+    model change)."""
+    import jax
+
+    from ov3det.datasets import SyntheticDataset
+    from ov3det.datasets.loader import DataLoader
+    from ov3det.engine import build_training
+    from ov3det.engine.train import make_packed_group_step
+    from ov3det.models import Model3DETR
+    from tests.test_engine import tiny_train_cfg
+
+    cfg = tiny_train_cfg()
+    ds = SyntheticDataset(size=8, num_points=256,
+                          num_semcls=cfg.model.num_semcls,
+                          num_angle_bin=cfg.model.num_angle_bin)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def run(quantize):
+        loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                            sharding=sharding, transfer="packed_device",
+                            super_batch=2, quantize=quantize)
+        item = next(iter(loader))
+        sample = loader.unpack(item)
+        inputs = {k: sample[k] for k in ("point_clouds",
+                                         "point_cloud_dims_min",
+                                         "point_cloud_dims_max")}
+        state, train_step, _, _ = build_training(
+            cfg, Model3DETR(cfg.model), inputs, iters_per_epoch=2,
+            rng=jax.random.PRNGKey(0))
+        group_step = make_packed_group_step(train_step)
+        _, metrics = group_step(state, item[0], item[1],
+                                jax.random.PRNGKey(1))
+        return float(metrics["loss"])
+
+    l_plain = run(())
+    l_q16 = run(("point_clouds",))
+    assert np.isfinite(l_q16)
+    assert abs(l_q16 - l_plain) <= 0.02 * abs(l_plain) + 1e-3
