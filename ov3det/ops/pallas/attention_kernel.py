@@ -299,9 +299,12 @@ def _attn_bwd(scale, dropout_rate, r2, interpret, res, g):
         pl.BlockSpec((1, NQ, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     # dkv holds whole-sequence Q/K/V/dO blocks PLUS f32 dk/dv accumulators
-    # and three f32 (tq, NK) score blocks — tq=128 keeps it under the 16MB
-    # VMEM scoped limit at the encoder's NK=2048 (256 busts it by ~1.3MB)
-    dkv_tq = min(TQ, 128)
+    # and three f32 (tq, NK) score blocks — the scoped-VMEM stack budget is
+    # 16MB and the surrounding program changes the residual accounting:
+    # tq=128 fit inside the point-only train step but busted the limit by
+    # 480KB inside the (much larger) open-vocab step, so tq=64 buys ~1.5MB
+    # of headroom (the q-tile loop stays MXU-bound either way)
+    dkv_tq = min(TQ, 64)
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale,
                           dropout_rate=dropout_rate, r2=r2, tq=dkv_tq),
