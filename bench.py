@@ -306,8 +306,18 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step,
     extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
     note(f"step-only {step_only:.1f} scenes/s")
 
+
+def bench_point_mfu(state, train_step, staged, budget: Budget, extras: dict):
+    """XLA cost-analysis MFU estimate.  Lowering/compiling the plain train
+    step is a SEPARATE program standup (~2 min through the tunnel), so
+    this runs LAST — after the OV section — where an external kill only
+    loses this estimate, never the throughput numbers."""
     if not budget.allows(240):  # compiles/loads the plain train step
         extras["skipped_mfu"] = "budget"
+        return
+    step_only = extras.get("step_only_scenes_per_sec")
+    if step_only is None:
+        extras["skipped_mfu"] = "no step-only rate"
         return
     fl = step_flops(train_step, state, staged)
     if fl > 0:
@@ -454,6 +464,19 @@ def main():
         bench_point_step_only(cfg, *point_ctx, budget, result)
         emit(result)
 
+    _run_ov_sections(args, cfg, budget, result)
+
+    if point_ctx is not None:
+        # MFU cost-analysis last: it stands up a separate program (~2 min
+        # through the tunnel) and is the least important number
+        bench_point_mfu(point_ctx[0], point_ctx[3], point_ctx[2], budget,
+                        result)
+        emit(result)
+
+    note(f"done in {time.perf_counter() - _T0:.0f}s")
+
+
+def _run_ov_sections(args, cfg, budget, result):
     if args.mode in ("all", "ov"):
         # teacher init + OV multi-step standup: ~4-6 min warm-cache
         if not budget.allows(300):
@@ -475,7 +498,7 @@ def main():
                     ov_so / REFERENCE_SCENES_PER_SEC, 3
                 )
         except Exception as exc:  # pragma: no cover - keep the headline alive
-            result["ov_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            result["ov_error"] = f"{type(exc).__name__}: {exc}"[:600]
         emit(result)
 
         if args.per_layer:
@@ -486,10 +509,8 @@ def main():
                     rate, _, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1, budget)
                     result["ov_per_layer_scenes_per_sec"] = round(rate, 3)
                 except Exception as exc:  # pragma: no cover
-                    result["ov_per_layer_error"] = f"{type(exc).__name__}: {exc}"[:200]
+                    result["ov_per_layer_error"] = f"{type(exc).__name__}: {exc}"[:600]
             emit(result)
-
-    note(f"done in {time.perf_counter() - _T0:.0f}s")
 
 
 if __name__ == "__main__":
