@@ -170,12 +170,13 @@ class TeacherConfig:
     checkpoint_path: Optional[str] = None
     text_embed_path: Optional[str] = None
     image_size: tuple[int, int] = (530, 730)
-    # compute dtype of the frozen tower ("bfloat16" | "float32").  The
-    # teacher carries no gradients, so bf16 is the production default
-    # (MXU convs, halved HBM traffic; parity vs f32 is golden-tested in
-    # tests/test_teacher_parity.py).  Weights are pre-cast once at load —
-    # see models/regionclip.cast_teacher_params.
-    compute_dtype: str = "bfloat16"
+    # compute dtype of the frozen tower ("int8" | "bfloat16" | "float32").
+    # The teacher carries no gradients, so int8 W8A8 trunk convs are the
+    # production default (int32 MXU accumulation, measured 1.49-1.72x the
+    # bf16 trunk on v5e; region-feature cosine vs f32 golden-tested at
+    # width 80 in tests/test_teacher_parity.py).  Weights are quantized /
+    # cast once at load — see models/regionclip.quantize_teacher_params.
+    compute_dtype: str = "int8"
 
 
 @dataclass(frozen=True)

@@ -116,10 +116,12 @@ def make_args_parser():
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
     p.add_argument("--region_clip_ckpt_path", type=str, default=None)
-    p.add_argument("--teacher_compute_dtype", type=str, default="bfloat16",
-                   choices=["bfloat16", "float32"],
+    p.add_argument("--teacher_compute_dtype", type=str, default="int8",
+                   choices=["int8", "bfloat16", "float32"],
                    help="compute dtype of the frozen RegionCLIP tower "
-                   "(bf16 = TPU-fast default; f32 = parity mode)")
+                   "(int8 = W8A8 trunk convs on the MXU, the TPU-fast "
+                   "default — fidelity golden-tested at width 80; "
+                   "bf16 = conservative fast mode; f32 = parity mode)")
     p.add_argument("--feature_2d_dir", type=str, default=None)
     p.add_argument("--use_pbox", default=False, action="store_true")
     p.add_argument("--use_2d_feature", default=False, action="store_true",
@@ -281,9 +283,9 @@ def build_teacher_fn(cfg, example_batch):
     loss (reference criterion.py:363-399 runs it inside the criterion)."""
     from ov3det.models.regionclip import (
         RegionCLIPTeacher,
-        cast_teacher_params,
         convert_torch_checkpoint,
         make_teacher_fn,
+        quantize_teacher_params,
     )
 
     dtype = cfg.teacher.compute_dtype
@@ -301,7 +303,9 @@ def build_teacher_fn(cfg, example_batch):
         variables = jax.jit(
             lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
         )()
-    variables = cast_teacher_params(variables, dtype)
+    # int8 -> W8A8-quantize the trunk convs (+bf16 the rest); other dtypes
+    # fall through to plain cast_teacher_params semantics
+    variables = quantize_teacher_params(variables, dtype)
     return make_teacher_fn(teacher, per_layer=cfg.loss.teacher_per_layer), variables
 
 

@@ -44,7 +44,10 @@ class RegionCLIPTeacher(nn.Module):
     # compute dtype for the conv trunk AND the attnpool q/k/v projections;
     # "bfloat16" is the TPU-fast frozen-teacher configuration (MXU convs,
     # halved HBM traffic); attention logits/softmax always accumulate in
-    # f32. None = float32 (parity-test setting).
+    # f32. "int8" runs the trunk convs as W8A8 (static per-channel int8
+    # weights from quantize_teacher_params, dynamic per-tensor activation
+    # scales, int32 MXU accumulation — ~1.5x the bf16 trunk on v5e) with
+    # everything else in bfloat16. None = float32 (parity-test setting).
     compute_dtype: Optional[str] = None
     # max regions (B x Q-chunk) per RoI-head pass — bounds HBM (see below)
     roi_chunk_regions: int = 256
@@ -55,7 +58,10 @@ class RegionCLIPTeacher(nn.Module):
         boxes: (B, Q, 4) [x1, y1, x2, y2] pixels.
         Returns (B, Q, embed_dim) region features."""
         B, Q = boxes.shape[:2]
-        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        quant = self.compute_dtype == "int8"
+        dtype = (
+            jnp.bfloat16 if self.compute_dtype in ("bfloat16", "int8") else None
+        )
         # NOTE on canvas padding: SUN RGB-D ships images zero-padded to a
         # fixed 530x730 canvas (reference sunrgbd.py:47), so the backbone
         # convolves padding for smaller frames.  That waste is bounded by
@@ -65,13 +71,16 @@ class RegionCLIPTeacher(nn.Module):
         # multi-size canvas bucketing would buy <7% and is not worth the
         # per-shape recompiles on this runtime.
         x = (images - _PIXEL_MEAN) / _PIXEL_STD
-        feat = CLIPResNetBackbone(self.width, self.layers, dtype, name="backbone")(x)
+        feat = CLIPResNetBackbone(
+            self.width, self.layers, dtype, quant, name="backbone"
+        )(x)
         head = CLIPResNetRes5Head(
             self.width,
             self.layers[3],
             self.embed_dim,
             self.image_resolution,
             dtype,
+            quant,
             name="roi_head",
         )
         # RoI pipeline runs in region chunks: at teacher scale (1024 RoIs x
@@ -116,7 +125,10 @@ def cast_teacher_params(variables, compute_dtype: Optional[str] = "bfloat16"):
         for k, v in tree.items():
             p = path + (k,)
             if isinstance(v, dict):
-                out[k] = walk(v, p)
+                if "kernel_q" in v:  # already-quantized W8A8 conv: int8
+                    out[k] = v       # kernel + f32 dequant scale stay as-is
+                else:
+                    out[k] = walk(v, p)
             elif (
                 "c_proj" not in p
                 # the attnpool positional grid may be bilinearly resized at
@@ -135,6 +147,56 @@ def cast_teacher_params(variables, compute_dtype: Optional[str] = "bfloat16"):
 
     raw = flax.core.unfreeze(variables) if not isinstance(variables, dict) else variables
     return walk(raw, ())
+
+
+def quantize_teacher_params(variables, compute_dtype: Optional[str] = "int8"):
+    """Post-training W8A8 quantization of the frozen trunk (load-time, host).
+
+    Maps every trunk conv's f32 `kernel` to the int8 `kernel_q` + per-output-
+    channel f32 `scale` pair QuantConv expects (symmetric abs-max grid; the
+    teacher is frozen, so static weight scales need no calibration data),
+    then bf16-casts the rest of the tower exactly like cast_teacher_params.
+    Excluded from quantization, matching the module structure:
+    - the stem's conv1 (3-channel image input; <0.5% of trunk FLOPs),
+    - the attnpool projections (Dense kernels WITH biases — never matched
+      by the kernel-only rule) and batch-norm statistics.
+
+    Use with RegionCLIPTeacher(compute_dtype="int8").  With any other
+    compute_dtype this falls through to cast_teacher_params semantics.
+    """
+    if compute_dtype != "int8":
+        return cast_teacher_params(variables, compute_dtype)
+
+    import flax.core
+
+    def quant_kernel(w):
+        w = np.asarray(w, np.float32)
+        s = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        s = np.maximum(s, 1e-12).astype(np.float32)
+        q = np.clip(np.rint(w / s), -127, 127).astype(np.int8)
+        return q, s
+
+    raw = flax.core.unfreeze(variables) if not isinstance(variables, dict) else dict(variables)
+
+    def walk(tree, path):
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                if (
+                    set(v) == {"kernel"}
+                    and getattr(v["kernel"], "ndim", 0) == 4
+                    and not (len(p) >= 2 and p[-2] == "stem" and k == "conv1")
+                ):
+                    q, s = quant_kernel(v["kernel"])
+                    out[k] = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(s)}
+                else:
+                    out[k] = walk(v, p)
+            else:
+                out[k] = v
+        return out
+
+    return cast_teacher_params(walk(raw, ()), "bfloat16")
 
 
 def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):

@@ -292,3 +292,96 @@ class TestFullWidthTeacher:
         # the distillation loss consumes cosine alignment; bf16 at full
         # width must stay directionally faithful to the torch oracle
         assert (cos > 0.995).all(), cos
+
+
+class TestInt8Teacher:
+    """W8A8 frozen-trunk quantization fidelity (the round-4 OV speed lever).
+
+    The int8 path replaces the reference teacher's f32 CUDA convs
+    (reference criterion.py:363-399 via models/model_regionclip.py:15-22)
+    with static-weight int8 MXU convs; the distillation loss consumes
+    cosine alignment, so the gate is cosine(int8, f32) of the region
+    features — checked both on the tiny converter tower and at TRUE RN50x4
+    channel width (80), where quantization error accumulates most."""
+
+    def test_quantized_params_structure_and_cosine_tiny(self, tower):
+        from ov3det.models.regionclip import quantize_teacher_params
+
+        _, variables = tower
+        qvars = quantize_teacher_params(variables, "int8")
+        # every trunk conv except stem/conv1 must now carry kernel_q+scale
+        stem = qvars["params"]["backbone"]["stem"]
+        assert set(stem["conv1"]) == {"kernel"}          # excluded (image input)
+        assert set(stem["conv2"]) == {"kernel_q", "scale"}
+        assert stem["conv2"]["kernel_q"].dtype == jnp.int8
+        assert stem["conv2"]["scale"].dtype == jnp.float32
+        blk = qvars["params"]["backbone"]["layer2"]["block0"]
+        assert set(blk["downsample_conv"]) == {"kernel_q", "scale"}
+        # attnpool projections untouched (kernel+bias Dense)
+        attn = qvars["params"]["roi_head"]["attnpool"]
+        assert "kernel" in attn["q_proj"] and "bias" in attn["q_proj"]
+
+        rng = np.random.default_rng(7)
+        images = rng.uniform(0, 255, size=(1, 64, 96, 3)).astype(np.float32)
+        boxes = np.array(
+            [[[4.0, 4.0, 60.0, 40.0], [10.0, 8.0, 30.0, 30.0]]], np.float32)
+        kw = dict(width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+                  pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+                  image_resolution=IMAGE_RES)
+        f32 = np.asarray(RegionCLIPTeacher(**kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes))).reshape(2, -1)
+        i8 = np.asarray(RegionCLIPTeacher(compute_dtype="int8", **kw).apply(
+            qvars, jnp.asarray(images), jnp.asarray(boxes))
+        ).reshape(2, -1).astype(np.float32)
+        cos = (f32 * i8).sum(-1) / (
+            np.linalg.norm(f32, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-8)
+        assert (cos > 0.99).all(), cos
+
+    def test_int8_tracks_torch_oracle_at_width_80(self):
+        """VERDICT round-3 gate: cosine(int8 teacher, f32 oracle) >= 0.99 at
+        width 80 — the real RN50x4 channel widths (1280-ch res4, 2560-ch
+        res5) where per-tensor activation scales are under the most
+        pressure."""
+        from ov3det.models.regionclip import quantize_teacher_params
+
+        # build the width-80 tower directly (the class-scoped fixture lives
+        # on TestFullWidthTeacher; rebuilding keeps the tests independent)
+        torch.manual_seed(17)
+        net = CLIPModifiedResNet(
+            layers=(1, 1, 1, 1), output_dim=640, width=80, image_resolution=96
+        )
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.6)
+        net.eval()
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "regionclip_w80.pth")
+            sd = {f"backbone.visual.{k}": v for k, v in net.state_dict().items()}
+            torch.save({"model": sd}, path)
+            variables = convert_torch_checkpoint(str(path), layers=(1, 1, 1, 1))
+
+        rng = np.random.default_rng(18)
+        B, Q = 1, 4
+        images = rng.uniform(0, 255, size=(B, 64, 96, 3)).astype(np.float32)
+        x1 = rng.uniform(0, 50, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 30, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(8, 40, (B, Q)),
+             y1 + rng.uniform(8, 30, (B, Q))], axis=-1).astype(np.float32)
+
+        kw = dict(width=80, layers=(1, 1, 1, 1), embed_dim=640,
+                  pooler_resolution=6, pooler_scale=1.0 / 16.0,
+                  image_resolution=96)
+        f32 = np.asarray(RegionCLIPTeacher(**kw).apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640)
+        qvars = quantize_teacher_params(variables, "int8")
+        i8 = np.asarray(RegionCLIPTeacher(compute_dtype="int8", **kw).apply(
+            qvars, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640).astype(np.float32)
+        cos = (f32 * i8).sum(-1) / (
+            np.linalg.norm(f32, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-8
+        )
+        assert (cos > 0.99).all(), cos
