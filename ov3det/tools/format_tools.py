@@ -84,6 +84,52 @@ def assign_box_label_from_gt(
     return np.stack(out, 0) if out else np.zeros((0, 8))
 
 
+def label_agreement(
+    pseudo_labels: np.ndarray, gt_semantic_labels: np.ndarray
+) -> tuple[int, int]:
+    """Pixelwise 2D pseudo-vs-GT semantic label agreement for ONE scene.
+
+    Counterpart of reference 3DOVDet_tools/scannet/assess_pseudo_label.py:28-48:
+    GT frames carry raw nyu40 ids (mapped to 0..17 / IGNORE), pseudo frames
+    carry 0..17 class ids with >=18 treated as IGNORE; the agreement is the
+    plain pixel count of equal mapped labels over ALL pixels (IGNOREs only
+    match IGNOREs, exactly as the reference's `==` does).
+
+    Returns (matching_pixels, total_pixels).
+    """
+    from ov3det.tools.projection_np import ProjectionHelper
+
+    gt = ProjectionHelper.project_label(
+        np.asarray(gt_semantic_labels, np.int64), pseudo=False
+    )
+    ps = ProjectionHelper.project_label(
+        np.asarray(pseudo_labels, np.int64), pseudo=True
+    )
+    return int(np.sum(ps == gt)), int(gt.size)
+
+
+def assess_pseudo_labels(
+    scenes,  # iterable of (pseudo_frames, gt_frames) array pairs per scene
+    pool=None,
+) -> dict:
+    """Aggregate 2D pseudo-label quality over scenes (the reference script's
+    mp.Pool driver, assess_pseudo_label.py:52-61). Returns per-scene rates
+    plus the corpus-level correctness count/total."""
+    work = list(scenes)
+    if pool is not None:
+        results = pool.starmap(label_agreement, work)
+    else:
+        results = [label_agreement(p, g) for p, g in work]
+    count = sum(r[0] for r in results)
+    total = sum(r[1] for r in results)
+    return {
+        "per_scene": [c / t if t else 0.0 for c, t in results],
+        "count": count,
+        "total": total,
+        "correctness": count / total if total else 0.0,
+    }
+
+
 def generate_categories(concepts: Sequence[str]) -> list[dict]:
     """Concept list -> LVIS-format categories for RegionCLIP
     (reference generate_categories.py:8-19)."""

@@ -1,5 +1,6 @@
 """Pseudo-label tool parity tests vs the reference 3DOVDet_tools code."""
 import importlib.util
+import json
 import os
 
 import numpy as np
@@ -319,6 +320,37 @@ class TestFormatTools:
         assert out[0, 6] == NYU40IDS[0] and out[1, 6] == NYU40IDS[17]
         assert np.load(outd / "scene0001_00_bbox.npy").shape == (0, 7)
 
+    def test_label_agreement_matches_reference_formula(self):
+        """Oracle for assess_pseudo_label.py:28-48: map GT nyu40 ids and
+        pseudo >=18 ids to IGNORE, then count equal pixels over ALL pixels."""
+        from ov3det.tools.format_tools import assess_pseudo_labels, label_agreement
+        from ov3det.tools.projection_np import NYU40IDS
+
+        rng = np.random.default_rng(0)
+        # GT frames: raw nyu40 ids (incl. unlabeled ids not in the 18-class set)
+        gt = rng.choice(np.concatenate([NYU40IDS, [0, 1, 2, 40]]), size=(3, 16, 16))
+        # pseudo frames: 0..17 plus junk ids >= 18
+        ps = rng.integers(0, 22, size=(3, 16, 16))
+
+        count, total = label_agreement(ps, gt)
+        assert total == ps.size
+        # independent re-derivation of the reference's mapping
+        nyu2cls = {int(n): i for i, n in enumerate(NYU40IDS)}
+        gt_m = np.vectorize(lambda v: nyu2cls.get(int(v), -100))(gt)
+        ps_m = np.where(ps >= 18, -100, ps)
+        assert count == int(np.sum(gt_m == ps_m))
+
+        # perfect agreement saturates at 1.0
+        perfect = np.where(gt_m >= 0, gt_m, 100)  # pseudo junk where GT ignored
+        c2, t2 = label_agreement(perfect, gt)
+        assert c2 == t2
+
+        rep = assess_pseudo_labels([(ps, gt), (perfect, gt)])
+        assert rep["total"] == 2 * ps.size
+        assert rep["count"] == count + c2
+        assert rep["per_scene"][1] == 1.0
+        assert 0.0 <= rep["correctness"] <= 1.0
+
     def test_generate_categories_matches_reference_schema(self):
         from ov3det.tools.format_tools import generate_categories
 
@@ -556,3 +588,101 @@ class TestLiftScannet:
         assert snapped.shape[0] == 1
         np.testing.assert_allclose(snapped[0, :6], gss[0], atol=1e-6)
         assert snapped[0, 7] == pytest.approx(0.9)
+
+
+class TestScannetIO:
+    """Raw-ScanNet readers (reference 3DOVDet_tools/utils/io_utils.py:1-139)."""
+
+    def _write_binary_ply(self, path, xyz, rgb=None, extra_face=True):
+        """Hand-rolled binary_little_endian PLY in ScanNet's vertex layout."""
+        import struct
+
+        n = xyz.shape[0]
+        props = (b"property float x\nproperty float y\nproperty float z\n")
+        if rgb is not None:
+            props += (b"property uchar red\nproperty uchar green\n"
+                      b"property uchar blue\nproperty float quality\n")
+        header = (
+            b"ply\nformat binary_little_endian 1.0\ncomment made by test\n"
+            + b"element vertex %d\n" % n + props
+            + (b"element face 1\nproperty list uchar int vertex_indices\n"
+               if extra_face else b"")
+            + b"end_header\n"
+        )
+        with open(path, "wb") as f:
+            f.write(header)
+            for i in range(n):
+                f.write(struct.pack("<fff", *xyz[i]))
+                if rgb is not None:
+                    f.write(struct.pack("<BBBf", *rgb[i].astype(np.uint8), 0.5))
+            if extra_face:
+                f.write(struct.pack("<Biii", 3, 0, 1, 2))
+
+    def test_read_binary_ply_with_rgb_and_trailing_face(self, tmp_path):
+        from ov3det.tools.scannet_io import (read_ply_vertices,
+                                             read_ply_vertices_rgb)
+
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(-2, 2, size=(17, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, size=(17, 3)).astype(np.float32)
+        p = tmp_path / "scene_vh_clean_2.ply"
+        self._write_binary_ply(p, xyz, rgb)
+        np.testing.assert_allclose(read_ply_vertices(str(p)), xyz, rtol=1e-6)
+        got_xyz, got_rgb = read_ply_vertices_rgb(str(p))
+        np.testing.assert_allclose(got_xyz, xyz, rtol=1e-6)
+        np.testing.assert_allclose(got_rgb, rgb)
+
+    def test_read_ascii_ply_roundtrips_own_writer(self, tmp_path):
+        from ov3det.tools.scannet_io import read_ply_vertices_rgb
+        from ov3det.utils.visualize import write_ply
+
+        rng = np.random.default_rng(1)
+        xyz = rng.uniform(-1, 1, size=(9, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, size=(9, 3)).astype(np.float64)
+        p = tmp_path / "pc.ply"
+        write_ply(xyz, str(p), colors=rgb)
+        got_xyz, got_rgb = read_ply_vertices_rgb(str(p))
+        np.testing.assert_allclose(got_xyz, xyz, atol=1e-4)  # %.4f writer
+        np.testing.assert_allclose(got_rgb, rgb)
+
+    def test_label_mapping_aggregation_segs_alignment(self, tmp_path):
+        from ov3det.tools.scannet_io import (read_aggregation,
+                                             read_axis_alignment,
+                                             read_label_mapping,
+                                             read_segmentation)
+
+        tsv = tmp_path / "labels.tsv"
+        tsv.write_text("raw_category\tnyu40id\tnyu40class\n"
+                       "chair\t5\tchair\n" "sofa bed\t6\tsofa\n")
+        m = read_label_mapping(str(tsv))
+        assert m == {"chair": 5, "sofa bed": 6}
+
+        # numeric source column -> int keys (reference represents_int branch)
+        tsv2 = tmp_path / "ids.tsv"
+        tsv2.write_text("id\tnyu40id\n" "3\t5\n" "9\t6\n")
+        assert read_label_mapping(str(tsv2), label_from="id") == {3: 5, 9: 6}
+
+        agg = tmp_path / "scene.aggregation.json"
+        agg.write_text(json.dumps({"segGroups": [
+            {"objectId": 0, "label": "chair", "segments": [4, 7]},
+            {"objectId": 1, "label": "chair", "segments": [9]},
+            {"objectId": 2, "label": "table", "segments": [2]},
+        ]}))
+        obj2segs, lab2segs = read_aggregation(str(agg))
+        assert obj2segs == {1: [4, 7], 2: [9], 3: [2]}  # 1-indexed
+        assert lab2segs == {"chair": [4, 7, 9], "table": [2]}
+
+        segs = tmp_path / "scene.segs.json"
+        seg_indices = [7, 4, 7, 2, 4, 4]
+        segs.write_text(json.dumps({"segIndices": seg_indices}))
+        seg2verts, nverts = read_segmentation(str(segs))
+        assert nverts == 6
+        assert seg2verts == {2: [3], 4: [1, 4, 5], 7: [0, 2]}
+
+        meta = tmp_path / "scene.txt"
+        mat = np.arange(16, dtype=np.float64) / 3.0
+        meta.write_text("colorWidth = 1296\naxisAlignment = "
+                        + " ".join(str(float(v)) for v in mat)
+                        + "\nnumPorts = 2\n")
+        np.testing.assert_allclose(read_axis_alignment(str(meta)),
+                                   mat.reshape(4, 4))
