@@ -91,8 +91,8 @@ class _Args:
     use_color = False
 
 
-def _build_reference():
-    from datasets.scannet import ScannetDatasetConfig
+def _build_reference(enc_type: str = "vanilla", dataset: str = "scannet",
+                     args=None):
     from models.model_3detr import (
         Model3DETR as RefModel,
         build_decoder,
@@ -100,13 +100,22 @@ def _build_reference():
         build_preencoder,
     )
 
-    dc = ScannetDatasetConfig()
+    if dataset == "scannet":
+        from datasets.scannet import ScannetDatasetConfig
+
+        dc = ScannetDatasetConfig()
+    else:
+        from datasets.sunrgbd import SunrgbdDatasetConfig
+
+        dc = SunrgbdDatasetConfig()
+    args = args or _Args()
+    args.enc_type = enc_type
     torch.manual_seed(13)
     text_embedding = torch.randn(dc.num_semcls + 1, dc.clip_embed_length)
     model = RefModel(
-        build_preencoder(_Args()),
-        build_encoder(_Args()),
-        build_decoder(_Args()),
+        build_preencoder(args),
+        build_encoder(args),
+        build_decoder(args),
         dc,
         text_embedding,
         encoder_dim=DIM,
@@ -117,10 +126,10 @@ def _build_reference():
     return model, dc
 
 
-def _make_batches(num_semcls):
+def _make_batches(num_semcls, num_angle_bin=1):
     ds = SyntheticDataset(size=ITERS_PER_EPOCH * BATCH, seed=3,
                           num_points=NPOINTS, num_semcls=num_semcls,
-                          num_angle_bin=1)
+                          num_angle_bin=num_angle_bin)
     batches = []
     for k in range(ITERS_PER_EPOCH):
         items = [ds[k * BATCH + i] for i in range(BATCH)]
@@ -144,11 +153,12 @@ def _unscramble_live(o):
     o["objectness_prob"] = 1.0 - prob[..., -1]
 
 
-def _ref_total_loss(model_out, t, matcher, crit):
+def _ref_total_loss(model_out, t, matcher, crit, weights=None):
     """Reference SetCriterion.forward minus the teacher branch
     (criterion.py:346-445): per-layer matcher + weighted loss sum."""
     from utils.box_util import generalized_box3d_iou
 
+    weights = weights or WEIGHTS
     layers = [model_out["outputs"]] + list(model_out.get("aux_outputs", []))
     total = 0.0
     for o in layers:
@@ -156,7 +166,7 @@ def _ref_total_loss(model_out, t, matcher, crit):
         o["gious"] = generalized_box3d_iou(
             o["box_corners"], t["gt_box_corners"], t["nactual_gt"],
             rotated_boxes=bool(torch.any(t["gt_box_angles"] > 0).item()),
-            needs_grad=(WEIGHTS["loss_giou"] > 0),
+            needs_grad=(weights.get("loss_giou", 0.0) > 0),
         )
         o["center_dist"] = torch.cdist(
             o["center_normalized"], t["gt_box_centers_normalized"], p=1
@@ -167,9 +177,10 @@ def _ref_total_loss(model_out, t, matcher, crit):
         losses.update(crit.loss_angle(o, t, a))
         losses.update(crit.loss_center(o, t, a))
         losses.update(crit.loss_size(o, t, a))
-        losses.update(crit.loss_giou(o, t, a))
-        total = total + sum(WEIGHTS[k] * v for k, v in losses.items()
-                            if k in WEIGHTS)
+        if weights.get("loss_giou", 0.0) > 0:
+            losses.update(crit.loss_giou(o, t, a))
+        total = total + sum(weights[k] * v for k, v in losses.items()
+                            if k in weights and weights[k] > 0)
     return total
 
 
@@ -287,4 +298,130 @@ def test_training_race_matches_reference():
     assert j_final < 0.8 * jax_losses[0], (jax_losses[0], j_final)
     # ov3det trains at least as well as the reference (10% tolerance for
     # matcher tie-breaks + f32 reassociation drift over 256 steps)
+    assert j_final <= 1.10 * t_final, (j_final, t_final)
+
+
+WEIGHTS_SUN = {  # flagship SUN RGB-D weights (reference scripts/sunrgbd_quick.sh:
+    # giou weight 0; angle/center/size/cls at main.py defaults)
+    "loss_sem_cls": 1.0, "loss_angle_cls": 0.1, "loss_angle_reg": 0.5,
+    "loss_center": 5.0, "loss_size": 1.0,
+}
+
+
+@pytest.mark.slow
+def test_training_race_flagship_axes():
+    """The flagship benchmark config's remaining axes, raced vs torch:
+    MASKED encoder (radius attention masks + interim PointNet++ downsample,
+    reference models/transformer.py:144-209) and the SUN RGB-D rotated-box
+    path (12 angle bins; rotated GIoU in the matcher COST with giou loss
+    weight 0 and matcher costs class/objectness/center/giou = 1/5/5/3,
+    reference scripts/sunrgbd_quick.sh).  Same structure as the vanilla
+    race: identical converted init, identical batches, 256 steps."""
+    from criterion import Matcher as RefMatcher, SetCriterion as RefSetCriterion
+    from ov3det.config import MatcherConfig
+
+    args = _Args()
+    args.enc_nlayers = 3  # the reference masked encoder is fixed at 3 layers
+    ref, dc = _build_reference("masked", "sunrgbd", args)
+    assert dc.num_angle_bin == 12
+    batches = _make_batches(dc.num_semcls, num_angle_bin=12)
+    # every batch must exercise the rotated path
+    assert all((b["gt_box_angles"] * b["gt_box_present"] > 0).any()
+               for b in batches)
+    opt_cfg = OptimConfig()
+    schedule = make_lr_schedule(opt_cfg, MAX_EPOCH, ITERS_PER_EPOCH)
+    lrs = [float(schedule(jnp.asarray(s))) for s in range(STEPS)]
+
+    # --- torch side -------------------------------------------------------
+    matcher = RefMatcher(cost_class=1.0, cost_objectness=5.0, cost_giou=3.0,
+                         cost_center=5.0)
+    crit = RefSetCriterion.__new__(RefSetCriterion)
+    torch.nn.Module.__init__(crit)
+    crit.dataset_config = dc
+    w = torch.ones(dc.num_semcls + 1)
+    w[-1] = 0.2
+    crit.register_buffer("semcls_percls_weights", w)
+    crit.loss_weight_dict = {}
+
+    init_sd = {k: v.detach().clone() for k, v in ref.state_dict().items()}
+    opt = torch.optim.AdamW(ref.parameters(), lr=opt_cfg.base_lr,
+                            weight_decay=opt_cfg.weight_decay)
+    ref.train()
+    torch_losses = []
+    for s in range(STEPS):
+        for g in opt.param_groups:
+            g["lr"] = lrs[s]
+        batch = batches[s % ITERS_PER_EPOCH]
+        t = _torch_targets(batch, dc.num_semcls)
+        inputs = {k: t[k] for k in
+                  ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max")}
+        out = ref(inputs)
+        total = _ref_total_loss(out, t, matcher, crit, weights=WEIGHTS_SUN)
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), opt_cfg.clip_gradient)
+        opt.step()
+        torch_losses.append(float(total))
+
+    # --- ov3det side (same converted initial weights) ---------------------
+    cfg = TrainConfig(
+        model=ModelConfig(
+            encoder=EncoderConfig(kind="masked", num_layers=3,
+                                  dim=DIM, ffn_dim=DIM, num_heads=4, dropout=0.0),
+            decoder=DecoderConfig(num_layers=DEC_LAYERS, dim=DIM, ffn_dim=DIM,
+                                  num_heads=4, dropout=0.0),
+            preenc_npoints=PREENC,
+            preenc_mlp=(64, 128, DIM),
+            num_queries=NQUERIES,
+            mlp_dropout=0.0,
+            num_semcls=dc.num_semcls,
+            num_angle_bin=dc.num_angle_bin,
+            clip_embed_dim=dc.clip_embed_length,
+            fps_shards=1,
+            query_fps_shards=1,
+            ball_query_method="first_k",
+        ),
+        loss=LossConfig(
+            matcher=MatcherConfig(cost_class=1.0, cost_objectness=5.0,
+                                  cost_center=5.0, cost_giou=3.0),
+            giou_weight=0.0,
+        ),
+        optim=opt_cfg,
+        max_epoch=MAX_EPOCH,
+    )
+    model = Model3DETR(cfg.model)
+    converted = convert_3detr_checkpoint(
+        {k: v.numpy() for k, v in init_sd.items()},
+        enc_layers=3, dec_layers=DEC_LAYERS, enc_kind="masked",
+    )
+    inputs = {k: jnp.asarray(batches[0][k]) for k in
+              ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max")}
+    state, train_step, _, _ = build_training(
+        cfg, model, inputs, iters_per_epoch=ITERS_PER_EPOCH,
+        rng=jax.random.PRNGKey(0),
+    )
+    from ov3det.engine.train import build_optimizer
+
+    tx = build_optimizer(opt_cfg, schedule)
+    state = state.replace(
+        params=jax.device_put(converted["params"]),
+        batch_stats=jax.device_put(converted["batch_stats"]),
+        frozen=jax.device_put(converted["frozen"]),
+    )
+    state = state.replace(opt_state=tx.init(state.params))
+
+    jbatches = [jax.tree_util.tree_map(jnp.asarray, b) for b in batches]
+    jax_losses = []
+    for s in range(STEPS):
+        state, metrics = train_step(
+            state, jbatches[s % ITERS_PER_EPOCH], jax.random.PRNGKey(s)
+        )
+        jax_losses.append(float(metrics["loss"]))
+
+    # --- verdicts ---------------------------------------------------------
+    np.testing.assert_allclose(jax_losses[0], torch_losses[0], rtol=2e-2)
+    t_final = float(np.mean(torch_losses[-32:]))
+    j_final = float(np.mean(jax_losses[-32:]))
+    assert t_final < 0.8 * torch_losses[0], (torch_losses[0], t_final)
+    assert j_final < 0.8 * jax_losses[0], (jax_losses[0], j_final)
     assert j_final <= 1.10 * t_final, (j_final, t_final)
