@@ -349,3 +349,61 @@ def test_q16_loader_feeds_a_train_step():
     l_q16 = run(("point_clouds",))
     assert np.isfinite(l_q16)
     assert abs(l_q16 - l_plain) <= 0.02 * abs(l_plain) + 1e-3
+
+
+def test_yuv420_codec_roundtrip_and_direct_layout():
+    """The yuv420 image transfer codec (datasets/loader.py): 2x reduction
+    on the wire, luma-exact reconstruction on gray content, bounded error
+    on chroma-smooth content (the SUN RGB-D sources are 4:2:0 JPEGs, so
+    the dropped chroma detail never existed in the files), and the
+    direct-write layout matches pack_batch byte-for-byte.  Also covers the
+    multi-frame (B, F, H, W, 3) ScanNet layout."""
+    from scipy.ndimage import zoom as _zoom  # smooth chroma test content
+
+    from ov3det.datasets.loader import (_pack_samples_into, batch_metas,
+                                        pack_batch, unpack_batch)
+
+    rng = np.random.default_rng(11)
+    B, H, W = 3, 32, 48
+    # chroma-smooth content: low-res color field upsampled 8x + fine luma
+    low = rng.uniform(40, 215, size=(B, H // 8, W // 8, 3))
+    smooth = np.stack([_zoom(low[b], (8, 8, 1), order=1) for b in range(B)])
+    luma = rng.uniform(-25, 25, size=(B, H, W, 1))
+    img = np.clip(smooth + luma, 0, 255).astype(np.uint8)
+    batch = {"image": img, "labels": rng.integers(0, 9, (B, 7)).astype(np.int64)}
+
+    q = ("image",)
+    buf, metas = pack_batch(batch, quantize=q)
+    plain, _ = pack_batch(batch)
+    assert buf.size < 0.55 * plain.size  # the put really halves
+    out = unpack_batch(buf, metas)
+    got = np.asarray(out["image"]).astype(np.int32)
+    assert got.shape == img.shape and np.asarray(out["image"]).dtype == np.uint8
+    err = np.abs(got - img.astype(np.int32))
+    assert err.mean() <= 3.0, err.mean()
+    assert np.percentile(err, 99) <= 14, np.percentile(err, 99)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), batch["labels"])
+
+    # gray content has no chroma: reconstruction is luma-rounding-exact
+    gray = np.repeat(rng.integers(0, 256, (1, H, W, 1)), 3, -1).astype(np.uint8)
+    gbuf, gm = pack_batch({"image": gray}, quantize=q)
+    ggot = np.asarray(unpack_batch(gbuf, gm)["image"]).astype(np.int32)
+    assert np.abs(ggot - gray.astype(np.int32)).max() <= 2
+
+    # direct-write layout parity (the zero-copy producer path)
+    samples = [{k: batch[k][b] for k in batch} for b in range(B)]
+    m2, nbytes = batch_metas(samples[0], B, with_valid_mask=False, quantize=q)
+    assert m2 == metas
+    row = np.empty(nbytes, np.uint8)
+    _pack_samples_into(samples, None, row, m2)
+    np.testing.assert_array_equal(row, buf)
+
+    # multi-frame layout (ScanNet --use_image ships (F, H, W, 3) samples)
+    mf = {"images": img.reshape(1, B, H, W, 3)}  # B=1 sample with F=3 frames
+    mbuf, mm = pack_batch(mf, quantize=("images",))
+    mg = np.asarray(unpack_batch(mbuf, mm)["images"]).astype(np.int32)
+    assert mg.shape == mf["images"].shape
+    assert np.abs(mg - mf["images"].astype(np.int32)).mean() <= 3.0
+    # frame f of the multi-frame pack decodes exactly like sample f of the
+    # batched pack (same bytes, same codec)
+    np.testing.assert_array_equal(mg[0], got)
