@@ -160,6 +160,10 @@ class DataConfig:
     # ship point clouds as per-sample-scaled uint16 on the packed H2D path
     # (~0.1 mm quantization noise, halves the transfer; loader.py q16 codec)
     quantize_points: bool = False
+    # ship uint8 RGB canvases as 4:2:0 YUV on the packed H2D path (halves
+    # the image bytes; SUN RGB-D sources are 4:2:0 JPEGs, so the dropped
+    # chroma detail never existed in the files — loader.py yuv420 codec)
+    yuv_images: bool = False
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,10 @@ def make_args_parser():
                    help="ship point clouds as per-sample uint16 on the "
                    "packed H2D path (~0.1 mm quantization noise; halves "
                    "the transfer on bandwidth-bound links)")
+    p.add_argument("--yuv_images", default=False, action="store_true",
+                   help="ship uint8 RGB canvases as 4:2:0 YUV on the packed "
+                   "H2D path (halves the image bytes; lossless vs the "
+                   "4:2:0-JPEG SUN RGB-D sources' chroma content)")
     p.add_argument("--num_points", default=None, type=int)
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
@@ -241,6 +245,7 @@ def config_from_args(args) -> TrainConfig:
             batch_size_per_device=args.batchsize_per_gpu,
             super_batch=args.super_batch,
             quantize_points=args.quantize_points,
+            yuv_images=args.yuv_images,
         ),
         teacher=TeacherConfig(
             enabled=args.use_image,
@@ -300,12 +305,32 @@ def build_teacher_fn(cfg, example_batch):
               "weights (distillation targets are meaningless)")
         img = jnp.asarray(example_batch["image"][:1])
         boxes = jnp.zeros((1, 1, 4), jnp.float32)
+        # init the FLOAT tower (quantize_teacher_params consumes f32
+        # kernels); param shapes don't depend on the compute dtype
+        f32_teacher = teacher.clone(compute_dtype=None)
         variables = jax.jit(
-            lambda: teacher.init(jax.random.PRNGKey(0), img, boxes)
+            lambda: f32_teacher.init(jax.random.PRNGKey(0), img, boxes)
         )()
-    # int8 -> W8A8-quantize the trunk convs (+bf16 the rest); other dtypes
-    # fall through to plain cast_teacher_params semantics
-    variables = quantize_teacher_params(variables, dtype)
+    # int8 -> W8A8-quantize the trunk convs (+bf16 the rest) and calibrate
+    # static activation scales on a REAL canvas from the example batch;
+    # other dtypes fall through to plain cast_teacher_params semantics
+    calib = None
+    if dtype == "int8":
+        img_np = np.asarray(example_batch["image"][:1], np.float32)
+        h = float(example_batch["image_height"][0])
+        w = float(example_batch["image_width"][0])
+        rng = np.random.default_rng(0)
+        x1 = rng.uniform(0, w * 0.5, size=(1, 8)).astype(np.float32)
+        y1 = rng.uniform(0, h * 0.5, size=(1, 8)).astype(np.float32)
+        calib_boxes = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(8, w * 0.5, (1, 8)), w - 1.0),
+             np.minimum(y1 + rng.uniform(8, h * 0.5, (1, 8)), h - 1.0)],
+            axis=-1,
+        ).astype(np.float32)
+        calib = (img_np, calib_boxes)
+    variables = quantize_teacher_params(variables, dtype, teacher=teacher,
+                                        calib=calib)
     return make_teacher_fn(teacher, per_layer=cfg.loss.teacher_per_layer), variables
 
 
@@ -385,8 +410,9 @@ def do_train(cfg: TrainConfig, args=None):
         transfer=train_transfer,
         super_batch=super_batch,
         quantize=(
-            ("point_clouds",)
-            if cfg.data.quantize_points and train_transfer != "tree"
+            (("point_clouds",) if cfg.data.quantize_points else ())
+            + (("image",) if cfg.data.yuv_images else ())
+            if train_transfer != "tree"
             else ()
         ),
     )

@@ -14,7 +14,7 @@ checkpoint via ov3det.models.regionclip.convert_torch_checkpoint.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -60,17 +60,30 @@ class QuantConv(nn.Module):
     Weights are STATIC int8 with one f32 scale per output channel, written
     by `regionclip.quantize_teacher_params` from the f32 checkpoint (the
     teacher is frozen, so post-training quantization needs no QAT).
-    Activations are quantized DYNAMICALLY per tensor (symmetric, abs-max),
-    the conv accumulates exactly in int32 on the MXU, and the dequant is a
-    single fused multiply.  Measured on v5e at the teacher's res5 shape:
-    int8 conv 1.72x the bf16 conv, 1.49x net of the quantize/dequant
-    passes (the driver of reference criterion.py:363-399's teacher cost).
+    Activations are quantized symmetrically per tensor; the conv
+    accumulates exactly in int32 on the MXU and the dequant is a single
+    fused multiply.  Measured on v5e at the teacher's res5 shape: int8
+    conv 1.72x the bf16 conv (the driver of reference
+    criterion.py:363-399's teacher cost).
+
+    Two activation-scale modes:
+    - static_act=True (production): the scale is a CALIBRATED constant
+      (`a_scale` param, written at load by quantize_teacher_params), so
+      the round/clip/cast quantize fuses into the preceding BN+relu
+      elementwise chain — no extra reduce pass.  A traced abs-max reduce
+      + separate quantize pass cost a measured ~10.6 ms/step across the
+      ~50 trunk convs of the OV train step (docs/PROFILE.md round 4).
+    - static_act=False (calibration): dynamic abs-max scale, and the
+      observed abs-max is sown into the `quant_stats` collection
+      (max-reduced across calls, e.g. the chunked res5 head) for
+      quantize_teacher_params to turn into `a_scale`.
     """
 
     features: int
     kernel_size: tuple = (1, 1)
     padding: int = 0
     dtype: Optional[jnp.dtype] = None
+    static_act: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -80,11 +93,16 @@ class QuantConv(nn.Module):
             "kernel_q", nn.initializers.zeros, (kh, kw, C, self.features), jnp.int8
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,))
-        # dynamic symmetric per-tensor activation scale; the abs-max reduce
-        # and the round/clip fuse with the preceding BN+relu elementwise
-        # chain, costing one extra HBM pass over the (bf16) input
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+        if self.static_act:
+            s_x = self.param("a_scale", nn.initializers.ones, ())
+        else:
+            a_max = jnp.max(jnp.abs(xf))
+            self.sow(
+                "quant_stats", "a_max", a_max,
+                init_fn=lambda: jnp.zeros(()), reduce_fn=jnp.maximum,
+            )
+            s_x = jnp.maximum(a_max, 1e-6) / 127.0
         xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC")
@@ -98,10 +116,12 @@ class QuantConv(nn.Module):
         return out.astype(self.dtype) if self.dtype is not None else out
 
 
-def _trunk_conv(quant: bool, dtype, features, kernel_size, padding=0, name=None):
-    """Conv factory for the trunk: W8A8 QuantConv in int8 mode, nn.Conv else."""
+def _trunk_conv(quant, dtype, features, kernel_size, padding=0, name=None):
+    """Conv factory for the trunk: W8A8 QuantConv when `quant` is "static"
+    or "dynamic" (calibration), plain nn.Conv when falsy."""
     if quant:
-        return QuantConv(features, tuple(kernel_size), padding, dtype, name=name)
+        return QuantConv(features, tuple(kernel_size), padding, dtype,
+                         static_act=(quant == "static"), name=name)
     return nn.Conv(
         features, kernel_size, padding=padding, use_bias=False, dtype=dtype,
         name=name,
@@ -112,7 +132,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False  # False | "static" | "dynamic" (see QuantConv)
 
     @nn.compact
     def __call__(self, x):
@@ -244,7 +264,7 @@ class AttentionPool2d(nn.Module):
 class ModifiedResNetStem(nn.Module):
     width: int
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False  # False | "static" | "dynamic" (see QuantConv)
 
     @nn.compact
     def __call__(self, x):
@@ -271,7 +291,7 @@ class ResNetStage(nn.Module):
     blocks: int
     stride: int = 1
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False  # False | "static" | "dynamic" (see QuantConv)
 
     @nn.compact
     def __call__(self, x):
@@ -289,7 +309,7 @@ class CLIPResNetBackbone(nn.Module):
     width: int = 80  # RN50x4
     layers: Sequence[int] = (4, 6, 10, 6)
     dtype: Optional[jnp.dtype] = None  # bfloat16 = TPU-fast frozen teacher
-    quant: bool = False  # int8 W8A8 trunk convs (quantize_teacher_params)
+    quant: Any = False  # False | "static" | "dynamic" W8A8 trunk convs (QuantConv)
 
     @nn.compact
     def __call__(self, x):
@@ -312,7 +332,7 @@ class CLIPResNetRes5Head(nn.Module):
     embed_dim: int = 640
     image_resolution: int = 288
     dtype: Optional[jnp.dtype] = None
-    quant: bool = False
+    quant: Any = False  # False | "static" | "dynamic" (see QuantConv)
 
     @nn.compact
     def __call__(self, x):

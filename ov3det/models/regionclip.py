@@ -45,9 +45,12 @@ class RegionCLIPTeacher(nn.Module):
     # "bfloat16" is the TPU-fast frozen-teacher configuration (MXU convs,
     # halved HBM traffic); attention logits/softmax always accumulate in
     # f32. "int8" runs the trunk convs as W8A8 (static per-channel int8
-    # weights from quantize_teacher_params, dynamic per-tensor activation
-    # scales, int32 MXU accumulation — ~1.5x the bf16 trunk on v5e) with
-    # everything else in bfloat16. None = float32 (parity-test setting).
+    # weights + static calibrated per-tensor activation scales from
+    # quantize_teacher_params, int32 MXU accumulation — ~1.5x the bf16
+    # trunk on v5e) with everything else in bfloat16. "int8_calib" is the
+    # calibration mode quantize_teacher_params uses internally (dynamic
+    # activation scales, observed abs-max sown into `quant_stats`).
+    # None = float32 (parity-test setting).
     compute_dtype: Optional[str] = None
     # max regions (B x Q-chunk) per RoI-head pass — bounds HBM (see below)
     roi_chunk_regions: int = 256
@@ -58,9 +61,13 @@ class RegionCLIPTeacher(nn.Module):
         boxes: (B, Q, 4) [x1, y1, x2, y2] pixels.
         Returns (B, Q, embed_dim) region features."""
         B, Q = boxes.shape[:2]
-        quant = self.compute_dtype == "int8"
+        quant = {"int8": "static", "int8_calib": "dynamic"}.get(
+            self.compute_dtype, False
+        )
         dtype = (
-            jnp.bfloat16 if self.compute_dtype in ("bfloat16", "int8") else None
+            jnp.bfloat16
+            if self.compute_dtype in ("bfloat16", "int8", "int8_calib")
+            else None
         )
         # NOTE on canvas padding: SUN RGB-D ships images zero-padded to a
         # fixed 530x730 canvas (reference sunrgbd.py:47), so the backbone
@@ -70,7 +77,14 @@ class RegionCLIPTeacher(nn.Module):
         # 128-region RoI head, whose cost is canvas-independent) — so
         # multi-size canvas bucketing would buy <7% and is not worth the
         # per-shape recompiles on this runtime.
-        x = (images - _PIXEL_MEAN) / _PIXEL_STD
+        # normalize straight into the compute dtype: the (B,530,730,3)
+        # canvas is the biggest tensor the step touches, and emitting f32
+        # here doubles the bytes of the layout copy feeding the stem conv
+        # (measured 5.7 ms/step of reshape+copy at this line in round 4's
+        # trace, docs/PROFILE.md)
+        x = (images - _PIXEL_MEAN) * (1.0 / _PIXEL_STD)
+        if dtype is not None:
+            x = x.astype(dtype)
         feat = CLIPResNetBackbone(
             self.width, self.layers, dtype, quant, name="backbone"
         )(x)
@@ -149,23 +163,47 @@ def cast_teacher_params(variables, compute_dtype: Optional[str] = "bfloat16"):
     return walk(raw, ())
 
 
-def quantize_teacher_params(variables, compute_dtype: Optional[str] = "int8"):
+def quantize_teacher_params(
+    variables,
+    compute_dtype: Optional[str] = "int8",
+    teacher: Optional[RegionCLIPTeacher] = None,
+    calib: Optional[tuple] = None,
+    calib_margin: float = 1.25,
+):
     """Post-training W8A8 quantization of the frozen trunk (load-time, host).
 
     Maps every trunk conv's f32 `kernel` to the int8 `kernel_q` + per-output-
     channel f32 `scale` pair QuantConv expects (symmetric abs-max grid; the
     teacher is frozen, so static weight scales need no calibration data),
+    CALIBRATES one static per-tensor activation scale per conv (`a_scale`),
     then bf16-casts the rest of the tower exactly like cast_teacher_params.
     Excluded from quantization, matching the module structure:
     - the stem's conv1 (3-channel image input; <0.5% of trunk FLOPs),
     - the attnpool projections (Dense kernels WITH biases — never matched
       by the kernel-only rule) and batch-norm statistics.
 
+    Activation calibration: ONE forward of the int8-weight tower in
+    "int8_calib" mode on the CPU backend (no device program is ever stood
+    up at load) records each conv input's abs-max via the `quant_stats`
+    collection; a_scale = abs_max * calib_margin / 127.  The margin covers
+    range excursions beyond the calibration batch — values past it clip
+    symmetrically at +-127, the standard PTQ trade (fidelity vs f32 is
+    golden-tested at true RN50x4 width in tests/test_teacher_parity.py,
+    with calibration and evaluation on DIFFERENT images).
+    `teacher` supplies the tower hyperparameters; `calib` is an optional
+    (images, boxes) pair — real samples when the caller has them, else a
+    deterministic synthetic batch.
+
     Use with RegionCLIPTeacher(compute_dtype="int8").  With any other
     compute_dtype this falls through to cast_teacher_params semantics.
     """
     if compute_dtype != "int8":
         return cast_teacher_params(variables, compute_dtype)
+    if teacher is None:
+        raise ValueError(
+            "int8 quantization calibrates activation scales with one "
+            "forward pass — pass the RegionCLIPTeacher module"
+        )
 
     import flax.core
 
@@ -196,7 +234,47 @@ def quantize_teacher_params(variables, compute_dtype: Optional[str] = "int8"):
                 out[k] = v
         return out
 
-    return cast_teacher_params(walk(raw, ()), "bfloat16")
+    qvars = cast_teacher_params(walk(raw, ()), "bfloat16")
+
+    # --- activation-scale calibration (host CPU, one forward) -------------
+    if calib is None:
+        rng = np.random.default_rng(0)
+        ih = iw = max(64, int(teacher.image_resolution))
+        images = rng.uniform(0.0, 255.0, size=(1, ih, iw, 3)).astype(np.float32)
+        x1 = rng.uniform(0, iw * 0.5, size=(1, 8)).astype(np.float32)
+        y1 = rng.uniform(0, ih * 0.5, size=(1, 8)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1,
+             np.minimum(x1 + rng.uniform(8, iw * 0.5, (1, 8)), iw - 1.0),
+             np.minimum(y1 + rng.uniform(8, ih * 0.5, (1, 8)), ih - 1.0)],
+            axis=-1,
+        ).astype(np.float32)
+    else:
+        images, boxes = calib
+    calib_teacher = teacher.clone(compute_dtype="int8_calib")
+    cpu = jax.local_devices(backend="cpu")[0]
+    qvars_cpu = jax.device_put(qvars, cpu)
+    with jax.default_device(cpu):
+        _, collections = calib_teacher.apply(
+            qvars_cpu,
+            jnp.asarray(np.asarray(images, np.float32)),
+            jnp.asarray(np.asarray(boxes, np.float32)),
+            mutable=["quant_stats"],
+        )
+    stats = collections["quant_stats"]
+
+    def inject(ptree, stree):
+        for k, v in stree.items():
+            if isinstance(v, dict) and "a_max" not in v:
+                inject(ptree[k], v)
+            else:  # leaf module holding the sown a_max
+                a_max = float(np.asarray(v["a_max"]).max())
+                ptree[k]["a_scale"] = jnp.float32(
+                    max(a_max, 1e-6) * calib_margin / 127.0
+                )
+
+    inject(qvars["params"], stats)
+    return qvars
 
 
 def make_teacher_fn(teacher: RegionCLIPTeacher, per_layer: bool = False):

@@ -130,8 +130,14 @@ def roi_align_batched(
         hat = jnp.maximum(0.0, 1.0 - jnp.abs(taps[..., None] - grid))
         return jnp.mean(hat, axis=3)  # (B, Q, out, size)
 
-    wy = interp(y1, bin_h, H).astype(dtype)
-    wx = interp(x1, bin_w, W).astype(dtype)
+    # materialize the weight matrices before the contractions: left fusable,
+    # XLA folds the tent construction INTO the einsum loop and recomputes it
+    # per output tile (traced as 4.9 ms/step of "abs_reduce" fusion at
+    # teacher scale vs ~0.1 ms to build the (B,Q,out,size) weights once —
+    # docs/PROFILE.md round 4)
+    wy, wx = jax.lax.optimization_barrier(
+        (interp(y1, bin_h, H).astype(dtype), interp(x1, bin_w, W).astype(dtype))
+    )
     # contract the LARGER image axis first so the materialized intermediate
     # carries the smaller one: (B,Q,out,H,C) with H=34 vs (B,Q,out,W,C) with
     # W=46 at teacher scale is ~25% less HBM traffic on a bandwidth-bound op

@@ -171,6 +171,49 @@ class TestTeacherEndToEnd:
             np.asarray(got).reshape(B * Q, EMBED), want.numpy(), atol=3e-4
         )
 
+    def test_yuv420_teacher_fidelity(self, tower):
+        """Region features computed from a yuv420-roundtripped canvas
+        (datasets/loader.py transfer codec, the benched OV configuration)
+        must track the plain-RGB features: cosine >= 0.995 on
+        chroma-smooth content (what camera JPEGs actually carry — the
+        SUN RGB-D sources are 4:2:0, so this codec's loss never exceeds
+        the files' own)."""
+        from scipy.ndimage import zoom as _zoom
+
+        from ov3det.datasets.loader import pack_batch, unpack_batch
+
+        _, variables = tower
+        rng = np.random.default_rng(7)
+        B, Q, H, W = 2, 5, 64, 96
+        low = rng.uniform(30, 225, size=(B, H // 8, W // 8, 3))
+        smooth = np.stack([_zoom(low[b], (8, 8, 1), order=1) for b in range(B)])
+        luma = rng.uniform(-30, 30, size=(B, H, W, 1))
+        img = np.clip(smooth + luma, 0, 255).astype(np.uint8)
+        buf, metas = pack_batch({"image": img}, quantize=("image",))
+        img_yuv = np.asarray(unpack_batch(buf, metas)["image"])
+
+        x1 = rng.uniform(0, 60, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 40, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(8, 30, (B, Q)),
+             y1 + rng.uniform(8, 20, (B, Q))], axis=-1,
+        ).astype(np.float32)
+        teacher = RegionCLIPTeacher(
+            width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+            pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+            image_resolution=IMAGE_RES,
+        )
+        f_rgb = np.asarray(teacher.apply(
+            variables, jnp.asarray(img, jnp.float32), jnp.asarray(boxes)
+        )).reshape(B * Q, EMBED)
+        f_yuv = np.asarray(teacher.apply(
+            variables, jnp.asarray(img_yuv, jnp.float32), jnp.asarray(boxes)
+        )).reshape(B * Q, EMBED)
+        cos = np.sum(f_rgb * f_yuv, -1) / (
+            np.linalg.norm(f_rgb, axis=-1) * np.linalg.norm(f_yuv, axis=-1)
+        )
+        assert cos.min() >= 0.995, cos.min()
+
     def test_pad_content_invariance_for_interior_boxes(self, tower):
         """The SUN RGB-D loader ships images on a zero-padded fixed canvas
         (datasets/sunrgbd.py); region features of boxes farther from the
@@ -308,15 +351,23 @@ class TestInt8Teacher:
         from ov3det.models.regionclip import quantize_teacher_params
 
         _, variables = tower
-        qvars = quantize_teacher_params(variables, "int8")
+        kw0 = dict(width=WIDTH, layers=LAYERS, embed_dim=EMBED,
+                   pooler_resolution=POOLER, pooler_scale=1.0 / 16.0,
+                   image_resolution=IMAGE_RES)
+        # calibration uses the DEFAULT synthetic batch (different images
+        # than the eval inputs below — a_scale must generalize)
+        qvars = quantize_teacher_params(
+            variables, "int8",
+            teacher=RegionCLIPTeacher(compute_dtype="int8", **kw0))
         # every trunk conv except stem/conv1 must now carry kernel_q+scale
         stem = qvars["params"]["backbone"]["stem"]
         assert set(stem["conv1"]) == {"kernel"}          # excluded (image input)
-        assert set(stem["conv2"]) == {"kernel_q", "scale"}
+        assert set(stem["conv2"]) == {"kernel_q", "scale", "a_scale"}
         assert stem["conv2"]["kernel_q"].dtype == jnp.int8
         assert stem["conv2"]["scale"].dtype == jnp.float32
+        assert float(stem["conv2"]["a_scale"]) > 0.0  # calibrated, not init
         blk = qvars["params"]["backbone"]["layer2"]["block0"]
-        assert set(blk["downsample_conv"]) == {"kernel_q", "scale"}
+        assert set(blk["downsample_conv"]) == {"kernel_q", "scale", "a_scale"}
         # attnpool projections untouched (kernel+bias Dense)
         attn = qvars["params"]["roi_head"]["attnpool"]
         assert "kernel" in attn["q_proj"] and "bias" in attn["q_proj"]
@@ -377,7 +428,9 @@ class TestInt8Teacher:
         f32 = np.asarray(RegionCLIPTeacher(**kw).apply(
             variables, jnp.asarray(images), jnp.asarray(boxes)
         )).reshape(B * Q, 640)
-        qvars = quantize_teacher_params(variables, "int8")
+        qvars = quantize_teacher_params(
+            variables, "int8",
+            teacher=RegionCLIPTeacher(compute_dtype="int8", **kw))
         i8 = np.asarray(RegionCLIPTeacher(compute_dtype="int8", **kw).apply(
             qvars, jnp.asarray(images), jnp.asarray(boxes)
         )).reshape(B * Q, 640).astype(np.float32)
