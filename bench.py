@@ -75,6 +75,11 @@ OV_ITERS = 4  # items/window at OV_SUPER batches each
 OV_PL_ITERS = 4
 IMG_H, IMG_W = SyntheticOVDataset.IMG_H, SyntheticOVDataset.IMG_W
 QUANTIZE = ("point_clouds",)  # q16 H2D codec (datasets/loader.py)
+# OV adds the yuv420 image codec: the uint8 canvas is ~90% of the OV group
+# put, and SUN RGB-D sources are 4:2:0 JPEGs — the wire carries what the
+# files do (loader.py codec notes; fidelity in tests/test_loader.py +
+# tests/test_teacher_parity.py::test_yuv420_teacher_fidelity)
+OV_QUANTIZE = QUANTIZE + ("image",)
 # TPU v5e peak dense bf16 matmul throughput (public spec) — MFU denominator
 V5E_PEAK_FLOPS = 197e12
 
@@ -162,8 +167,13 @@ def time_loader_windows(run_step, state, loader, warmup, iters, windows,
         if w + 1 < windows and not budget.allows(dt * 1.5):
             note(f"stopping e2e windows early after {w + 1}/{windows} (budget)")
             break
-    med = sorted(rates)[len(rates) // 2]
-    return med, float(np.mean(fetch_ms)), float(np.mean(disp_ms)), len(rates)
+    return rates, float(np.mean(fetch_ms)), float(np.mean(disp_ms))
+
+
+def rate_stats(rates):
+    """(median, min, max) over measurement windows — the spread keys let a
+    congested-transport run be diagnosed from the JSON artifact alone."""
+    return (sorted(rates)[len(rates) // 2], min(rates), max(rates))
 
 
 def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
@@ -201,13 +211,21 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
             return packed_step(state, item[0], item[1], key)
         return train_step(state, item, key)
 
-    return state, run_step, batch, train_step
+    return state, run_step, batch, train_step, group_step
 
 
-def step_flops(train_step, state, batch) -> float:
-    """XLA's own FLOP estimate for one train step (fwd+bwd+update)."""
+def group_flops(group_step, state, group) -> float:
+    """XLA's FLOP estimate for ONE batch's train step (fwd+bwd+update).
+
+    Cost-analyzes the group step's inner jitted sub_step — the SAME
+    program the e2e/step-only sections already compiled (lower().compile()
+    re-keys into the compilation cache), so this never stands up a fresh
+    program — the round-3 failure mode where MFU was the section the
+    budget dropped."""
     try:
-        compiled = train_step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+        compiled = group_step.sub_step.lower(
+            state, group[0], jnp.asarray(0, jnp.int32), group[1], _key(0)
+        ).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -217,7 +235,7 @@ def step_flops(train_step, state, batch) -> float:
         return 0.0
 
 
-def make_loader(ds, super_batch=1):
+def make_loader(ds, super_batch=1, quantize=QUANTIZE):
     # thread workers, few of them: this harness host has ONE CPU core, so
     # process workers only add pickling/IPC (~13 ms/batch measured) and
     # extra workers add nothing; batch synthesis is numpy-heavy (releases
@@ -232,7 +250,7 @@ def make_loader(ds, super_batch=1):
         # the tunnel H2D (~50 MB/s, serializing against in-flight compute)
         # is the e2e bottleneck — halving the put is worth ~0.1 mm of
         # quantization noise (loader.py codec notes)
-        quantize=QUANTIZE,
+        quantize=quantize,
     )
 
 
@@ -245,7 +263,7 @@ def bench_point_e2e(cfg, budget: Budget, extras: dict):
     dispatch latency through the shared device tunnel wobbles run-to-run,
     and a single window inherits that noise wholesale."""
     note("building point-only model")
-    state, run_step, staged, train_step = build(cfg)
+    state, run_step, staged, train_step, group_step = build(cfg)
     note("point e2e windows (first item compiles the group-step program)")
     ds = SyntheticDataset(
         size=(WARMUP + 3 * E2E_ITERS) * SUPER * BATCH, seed=3,
@@ -253,28 +271,35 @@ def bench_point_e2e(cfg, budget: Budget, extras: dict):
         num_angle_bin=cfg.model.num_angle_bin,
     )
     loader = make_loader(ds, super_batch=SUPER)
-    e2e, f_ms, d_ms, nwin = time_loader_windows(
+    rates, f_ms, d_ms = time_loader_windows(
         run_step, state, loader, WARMUP, E2E_ITERS, 3, budget,
         scenes_per_item=SUPER * BATCH,
     )
     loader.shutdown()
-    extras["e2e_windows"] = nwin
+    e2e, lo, hi = rate_stats(rates)
+    extras["e2e_windows"] = len(rates)
+    extras["e2e_scenes_per_sec_min"] = round(lo, 3)
+    extras["e2e_scenes_per_sec_max"] = round(hi, 3)
     extras["e2e_super_batch"] = SUPER
     extras["e2e_fetch_ms_per_item"] = round(f_ms, 1)
     extras["e2e_dispatch_ms_per_item"] = round(d_ms, 1)
-    note(f"point e2e {e2e:.1f} scenes/s (fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
-    return e2e, state, run_step, staged, train_step
+    note(f"point e2e {e2e:.1f} scenes/s [{lo:.1f}, {hi:.1f}] "
+         f"(fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
+    return e2e, state, run_step, staged, train_step, group_step
 
 
-def bench_point_step_only(cfg, state, run_step, staged, train_step,
+def bench_point_step_only(cfg, state, run_step, staged, train_step, group_step,
                           budget: Budget, extras: dict):
-    """Device-compute ceiling: ONE staged device-resident group buffer,
-    dependency-chained group dispatches — no H2D in the loop, and it
-    reuses the exact program the e2e section already compiled (a second
+    """Device-compute ceiling + MFU: ONE staged device-resident group
+    buffer, dependency-chained group dispatches — no H2D in the loop, and
+    it reuses the exact program the e2e section already compiled (a second
     program would cost ~2 min of standup through the tunnel even on a
-    persistent-cache hit)."""
+    persistent-cache hit).  MFU rides along here (cost analysis of the
+    same compiled program) so it can never be the section a cold driver
+    run's budget drops."""
     if not budget.allows(120):
         extras["skipped_step_only"] = "budget"
+        extras["skipped_mfu"] = "budget"
         return
     note("step-only: chained groups on a staged device buffer")
     from ov3det.datasets.loader import pack_batch
@@ -306,26 +331,15 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step,
     extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
     note(f"step-only {step_only:.1f} scenes/s")
 
-
-def bench_point_mfu(state, train_step, staged, budget: Budget, extras: dict):
-    """XLA cost-analysis MFU estimate.  Lowering/compiling the plain train
-    step is a SEPARATE program standup (~2 min through the tunnel), so
-    this runs LAST — after the OV section — where an external kill only
-    loses this estimate, never the throughput numbers."""
-    if not budget.allows(240):  # compiles/loads the plain train step
-        extras["skipped_mfu"] = "budget"
-        return
-    step_only = extras.get("step_only_scenes_per_sec")
-    if step_only is None:
-        extras["skipped_mfu"] = "no step-only rate"
-        return
-    fl = step_flops(train_step, state, staged)
+    fl = group_flops(group_step, state, group)  # one BATCH-scene sub-step
     if fl > 0:
         flops_per_sec = fl * step_only / BATCH
         extras["step_tflops_est"] = round(fl / 1e12, 3)
         extras["mfu_pct_vs_v5e_bf16_peak"] = round(
             100 * flops_per_sec / V5E_PEAK_FLOPS, 2
         )
+        note(f"mfu {extras['mfu_pct_vs_v5e_bf16_peak']:.1f}% "
+             f"({extras['step_tflops_est']:.2f} TFLOP/step)")
 
 
 def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
@@ -334,36 +348,46 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
 
     from ov3det.models.regionclip import (
         RegionCLIPTeacher,
-        cast_teacher_params,
         make_teacher_fn,
+        quantize_teacher_params,
     )
 
     ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
-    # RN50x4 (width 80, layers (4,6,10,6)); bfloat16 trunk = TPU-fast frozen teacher
-    teacher = RegionCLIPTeacher(compute_dtype="bfloat16")
-    init_img = jnp.zeros((1, IMG_H, IMG_W, 3), jnp.float32)
-    t_vars = jax.jit(
-        lambda: teacher.init(jax.random.PRNGKey(0), init_img, jnp.zeros((1, 1, 4)))
-    )()
-    # pre-cast the frozen weights: ~350MB of in-step f32->bf16 casts
-    # (~7 ms/step) hoisted to load time
-    t_vars = cast_teacher_params(t_vars, "bfloat16")
+    # RN50x4 (width 80, layers (4,6,10,6)); int8 W8A8 trunk = the production
+    # frozen-teacher config (measured 1.49-1.72x the bf16 trunk on v5e;
+    # region-feature fidelity golden-tested in tests/test_teacher_parity.py)
+    teacher = RegionCLIPTeacher(compute_dtype="int8")
+    # standup trim: init + quantize entirely HOST-side (CPU backend, tiny
+    # init image — param shapes don't depend on input H/W), so no init
+    # program is ever compiled through the tunnel and the f32 weights are
+    # never pulled D2H for quantization.  The one device transfer is the
+    # quantized int8/bf16 tree riding the first jitted step.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        t_vars = RegionCLIPTeacher().init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((1, 1, 4)),
+        )
+        t_vars = quantize_teacher_params(t_vars, "int8", teacher=teacher)
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
-    state, run_step, _, _ = build(ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
+    state, run_step, _, _, _ = build(
+        ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
     ds = SyntheticOVDataset(
         size=(warmup + windows * iters) * OV_SUPER * BATCH, seed=5,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
-    loader = make_loader(ds, super_batch=OV_SUPER)
-    rate, f_ms, d_ms, _ = time_loader_windows(
+    loader = make_loader(ds, super_batch=OV_SUPER, quantize=OV_QUANTIZE)
+    rates, f_ms, d_ms = time_loader_windows(
         run_step, state, loader, warmup, iters, windows, budget,
         scenes_per_item=OV_SUPER * BATCH,
     )
     loader.shutdown()
+    rate, lo, hi = rate_stats(rates)
     note(f"ov{'-per-layer' if per_layer else ''} {rate:.2f} scenes/s "
-         f"(fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
+         f"[{lo:.2f}, {hi:.2f}] (fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
 
     step_only = None
     if not per_layer and budget.allows(120):
@@ -381,7 +405,7 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
             items = [ds[g * BATCH + i] for i in range(BATCH)]
             b, metas = pack_batch(
                 {k: np.stack([it[k] for it in items]) for k in items[0]},
-                quantize=QUANTIZE,
+                quantize=OV_QUANTIZE,
             )
             bufs.append(b)
         group = (
@@ -394,7 +418,7 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
         dt, n = time_loop(run_step, state, [group] * (1 + max(OV_ITERS, 3)), 1)
         step_only = OV_SUPER * BATCH * n / dt
         note(f"ov step-only {step_only:.1f} scenes/s")
-    return rate, f_ms, d_ms, step_only
+    return (rate, lo, hi), f_ms, d_ms, step_only
 
 
 def check_backend(timeout_s: float = 240.0) -> bool:
@@ -461,17 +485,12 @@ def main():
     emit(result)  # headline lands NOW; later sections only improve on it
 
     if point_ctx is not None:
+        # step-only ceiling + MFU (cost analysis of the same program) ride
+        # together: both are near-zero marginal cost after the e2e section
         bench_point_step_only(cfg, *point_ctx, budget, result)
         emit(result)
 
     _run_ov_sections(args, cfg, budget, result)
-
-    if point_ctx is not None:
-        # MFU cost-analysis last: it stands up a separate program (~2 min
-        # through the tunnel) and is the least important number
-        bench_point_mfu(point_ctx[0], point_ctx[3], point_ctx[2], budget,
-                        result)
-        emit(result)
 
     note(f"done in {time.perf_counter() - _T0:.0f}s")
 
@@ -484,10 +503,12 @@ def _run_ov_sections(args, cfg, budget, result):
             emit(result)
             return
         try:
-            rate, f_ms, d_ms, ov_so = bench_ov(
+            (rate, lo, hi), f_ms, d_ms, ov_so = bench_ov(
                 cfg, False, OV_WARMUP, OV_ITERS, 3, budget
             )
             result["ov_scenes_per_sec"] = round(rate, 3)
+            result["ov_scenes_per_sec_min"] = round(lo, 3)
+            result["ov_scenes_per_sec_max"] = round(hi, 3)
             result["ov_vs_baseline"] = round(rate / REFERENCE_SCENES_PER_SEC, 3)
             result["ov_super_batch"] = OV_SUPER
             result["ov_fetch_ms_per_item"] = round(f_ms, 1)
@@ -506,7 +527,8 @@ def _run_ov_sections(args, cfg, budget, result):
                 result["skipped_ov_per_layer"] = "budget"
             else:
                 try:
-                    rate, _, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1, budget)
+                    (rate, _, _), _, _, _ = bench_ov(cfg, True, 1, OV_PL_ITERS, 1,
+                                                     budget)
                     result["ov_per_layer_scenes_per_sec"] = round(rate, 3)
                 except Exception as exc:  # pragma: no cover
                     result["ov_per_layer_error"] = f"{type(exc).__name__}: {exc}"[:600]

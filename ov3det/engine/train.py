@@ -233,6 +233,10 @@ def make_packed_group_step(train_step, max_group: int = 64):
             state, metrics = sub_step(state, bufs, idx_cache[g], metas, rng)
         return state, metrics
 
+    # the jitted inner program, exposed for cost analysis (bench.py MFU:
+    # lower().compile() of the SAME program re-keys into the compilation
+    # cache instead of standing up a fresh one)
+    run_group.sub_step = sub_step
     return run_group
 
 
