@@ -16,6 +16,11 @@ from ov3det.tools.lift_boxes import (
     run_pool,
 )
 from ov3det.tools.projection_np import ProjectionHelper, SunrgbdCalibrationNp
+from ov3det.tools.seg_metrics import (
+    BinaryMetrics,
+    SegmentationMetrics,
+    confusion_counts,
+)
 
 __all__ = [
     "box_3d_iou",
@@ -37,4 +42,7 @@ __all__ = [
     "run_pool",
     "ProjectionHelper",
     "SunrgbdCalibrationNp",
+    "SegmentationMetrics",
+    "BinaryMetrics",
+    "confusion_counts",
 ]

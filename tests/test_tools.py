@@ -686,3 +686,79 @@ class TestScannetIO:
                         + "\nnumPorts = 2\n")
         np.testing.assert_allclose(read_axis_alignment(str(meta)),
                                    mat.reshape(4, 4))
+
+
+class TestSegMetrics:
+    """tools/seg_metrics.py vs an independent per-class brute-force oracle
+    with the reference's exact eps/ignore/average semantics (reference
+    3DOVDet_tools/utils/image_segmentation_metrics.py)."""
+
+    @staticmethod
+    def _oracle_matrix(gt, pred_ids, C):
+        m = np.zeros((3, C))
+        for i in range(C):
+            p = (pred_ids == i).astype(np.float64).reshape(-1)
+            g = (gt == i).astype(np.float64).reshape(-1)
+            tp = (p * g).sum()
+            m[:, i] = tp, p.sum() - tp, g.sum() - tp
+        return m
+
+    def test_multiclass_matches_oracle(self):
+        from ov3det.tools import SegmentationMetrics
+        from ov3det.tools.seg_metrics import confusion_counts
+
+        rng = np.random.default_rng(0)
+        N, C, H, W = 2, 5, 13, 17
+        gt = rng.integers(0, C, (N, H, W))
+        logits = rng.normal(size=(N, C, H, W)).astype(np.float32)
+        pred_ids = np.argmax(logits, axis=1)
+
+        want = self._oracle_matrix(gt, pred_ids, C)
+        np.testing.assert_array_equal(confusion_counts(gt, pred_ids, C), want)
+
+        eps = 1e-5
+        m = want[:, 1:]  # ignore_background drops class 0 AFTER counting
+        exp_acc = (m[0].sum() + eps) / (m[0].sum() + m[1].sum())
+        exp_dice = np.mean((2 * m[0] + eps) / (2 * m[0] + m[1] + m[2] + eps))
+        exp_p = np.mean((m[0] + eps) / (m[0] + m[1] + eps))
+        exp_r = np.mean((m[0] + eps) / (m[0] + m[2] + eps))
+
+        for act in ("0-1", "softmax", None):  # same argmax decision
+            acc, dice, prec, rec = SegmentationMetrics(activation=act)(gt, logits)
+            np.testing.assert_allclose(
+                [acc, dice, prec, rec], [exp_acc, exp_dice, exp_p, exp_r],
+                rtol=1e-12,
+            )
+        # class-id input path + per-class (average=False) output
+        _, dice_vec, _, _ = SegmentationMetrics(average=False)(gt, pred_ids)
+        np.testing.assert_allclose(
+            dice_vec, (2 * m[0] + eps) / (2 * m[0] + m[1] + m[2] + eps)
+        )
+        # keep background: perfect prediction drives every metric to ~1
+        acc, dice, prec, rec = SegmentationMetrics(ignore_background=False)(
+            gt, gt
+        )
+        assert min(acc, dice, prec, rec) > 0.999
+
+    def test_binary_matches_formulas(self):
+        from ov3det.tools import BinaryMetrics
+
+        rng = np.random.default_rng(1)
+        N, H, W = 3, 9, 11
+        t = rng.integers(0, 2, (N, H, W)).astype(np.float64)
+        logits = rng.normal(size=(N, 1, H, W))
+        p = (1.0 / (1.0 + np.exp(-logits[:, 0])) > 0.5).astype(np.float64)
+        tp = (p * t).sum(); fp = (p * (1 - t)).sum()
+        fn = ((1 - p) * t).sum(); tn = ((1 - p) * (1 - t)).sum()
+        eps = 1e-5
+        want = (
+            (tp + tn + eps) / (tp + tn + fp + fn + eps),
+            (2 * tp + eps) / (2 * tp + fp + fn + eps),
+            (tp + eps) / (tp + fp + eps),
+            (tn + eps) / (tn + fp + eps),
+            (tp + eps) / (tp + fn + eps),
+        )
+        got = BinaryMetrics()(t, logits)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        with pytest.raises(ValueError):
+            BinaryMetrics()(t, np.zeros((N, 2, H, W)))
