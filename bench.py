@@ -503,8 +503,12 @@ def _run_ov_sections(args, cfg, budget, result):
             emit(result)
             return
         try:
+            # 5 windows (vs point's 3): the OV put is 23 MB/group and tunnel
+            # congestion hits single windows hard (measured 33/33/68 within
+            # one run) — a 5-window median rides out one bad window at ~10 s
+            # of warm-cache cost; the budget guard still stops early if cold
             (rate, lo, hi), f_ms, d_ms, ov_so = bench_ov(
-                cfg, False, OV_WARMUP, OV_ITERS, 3, budget
+                cfg, False, OV_WARMUP, OV_ITERS, 5, budget
             )
             result["ov_scenes_per_sec"] = round(rate, 3)
             result["ov_scenes_per_sec_min"] = round(lo, 3)

@@ -30,7 +30,7 @@ from ov3det.datasets import SyntheticOVDataset
 from ov3det.datasets.loader import pack_batch
 from ov3det.models.regionclip import (RegionCLIPTeacher, make_teacher_fn,
                                       quantize_teacher_params)
-from bench import BATCH, IMG_H, IMG_W, NUM_POINTS, OV_SUPER, QUANTIZE, _key, build
+from bench import BATCH, IMG_H, IMG_W, NUM_POINTS, OV_QUANTIZE, OV_SUPER, _key, build
 
 
 def main():
@@ -54,9 +54,11 @@ def main():
     bufs, metas = [], None
     for g in range(OV_SUPER):
         items = [ds[g * BATCH + i] for i in range(BATCH)]
+        # OV_QUANTIZE (q16 points + yuv420 images): the SAME codec bench.py's
+        # OV sections use, so this traces the exact program they compiled
         b, metas = pack_batch(
             {k: np.stack([it[k] for it in items]) for k in items[0]},
-            quantize=QUANTIZE,
+            quantize=OV_QUANTIZE,
         )
         bufs.append(b)
     group = (
