@@ -342,6 +342,60 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step, group_step,
              f"({extras['step_tflops_est']:.2f} TFLOP/step)")
 
 
+def _teacher_vars_cached(teacher):
+    """Quantized frozen-teacher tree, disk-cached across bench runs.
+
+    The tree is DETERMINISTIC (PRNGKey(0) init + static weight scales +
+    synthetic-batch activation calibration, all seeded), but computing it
+    costs a 15-25 min width-80 CPU forward on this 1-core host — measured
+    as the dominant share of the OV section's standup, and enough by
+    itself to bust the driver's 1500 s budget on a bad day.  In
+    production the teacher comes from a checkpoint file (a seconds-long
+    load, engine/checkpoint.py), so loading the identical tree from disk
+    is the realistic standup, not a benchmark shortcut: the measured
+    windows are unchanged either way.
+
+    Init + quantize run entirely HOST-side on a cache miss (CPU backend,
+    tiny init image — param shapes don't depend on input H/W), so no init
+    program is ever compiled through the tunnel and the f32 weights are
+    never pulled D2H for quantization.  The one device transfer is the
+    quantized int8/bf16 tree riding the first jitted step.
+    """
+    import pickle
+
+    from ov3det.models.regionclip import RegionCLIPTeacher, quantize_teacher_params
+
+    cache = os.path.expanduser(
+        f"~/.cache/ov3det/teacher_{teacher.compute_dtype}_w{teacher.width}"
+        f"_l{'-'.join(map(str, teacher.layers))}_v1.pkl"
+    )
+    if os.path.exists(cache):
+        note(f"teacher tree from cache ({cache})")
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    note("teacher init + int8 calibration (host CPU; cached for next run)")
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        t_vars = RegionCLIPTeacher().init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((1, 1, 4)),
+        )
+        t_vars = quantize_teacher_params(
+            t_vars, teacher.compute_dtype, teacher=teacher
+        )
+    t_np = jax.tree_util.tree_map(np.asarray, t_vars)  # numpy: portable pickle
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(t_np, f, protocol=4)
+        os.replace(tmp, cache)
+    except OSError as exc:  # cache is best-effort
+        note(f"teacher cache write failed: {exc}")
+    return t_np
+
+
 def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
              budget: Budget):
     from dataclasses import replace
@@ -357,19 +411,7 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     # frozen-teacher config (measured 1.49-1.72x the bf16 trunk on v5e;
     # region-feature fidelity golden-tested in tests/test_teacher_parity.py)
     teacher = RegionCLIPTeacher(compute_dtype="int8")
-    # standup trim: init + quantize entirely HOST-side (CPU backend, tiny
-    # init image — param shapes don't depend on input H/W), so no init
-    # program is ever compiled through the tunnel and the f32 weights are
-    # never pulled D2H for quantization.  The one device transfer is the
-    # quantized int8/bf16 tree riding the first jitted step.
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        t_vars = RegionCLIPTeacher().init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3), jnp.float32),
-            jnp.zeros((1, 1, 4)),
-        )
-        t_vars = quantize_teacher_params(t_vars, "int8", teacher=teacher)
+    t_vars = _teacher_vars_cached(teacher)
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
     state, run_step, _, _, _ = build(
         ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)

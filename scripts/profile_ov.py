@@ -28,8 +28,7 @@ from dataclasses import replace
 from ov3det.config import sunrgbd_quick
 from ov3det.datasets import SyntheticOVDataset
 from ov3det.datasets.loader import pack_batch
-from ov3det.models.regionclip import (RegionCLIPTeacher, make_teacher_fn,
-                                      quantize_teacher_params)
+from ov3det.models.regionclip import RegionCLIPTeacher, make_teacher_fn
 from bench import BATCH, IMG_H, IMG_W, NUM_POINTS, OV_QUANTIZE, OV_SUPER, _key, build
 
 
@@ -37,14 +36,9 @@ def main():
     cfg = sunrgbd_quick()
     ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
     teacher = RegionCLIPTeacher(compute_dtype="int8")
-    # host-side init + quantization (see bench.bench_ov): no init program
-    # through the tunnel, no D2H weight pull
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        t_vars = RegionCLIPTeacher().init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3), jnp.float32),
-            jnp.zeros((1, 1, 4)))
-        t_vars = quantize_teacher_params(t_vars, "int8", teacher=teacher)
+    # disk-cached deterministic quantized tree (see bench._teacher_vars_cached)
+    from bench import _teacher_vars_cached
+    t_vars = _teacher_vars_cached(teacher)
     state, run_step, _, _, _ = build(ov_cfg, teacher_fn=make_teacher_fn(teacher),
                                      teacher_vars=t_vars)
     ds = SyntheticOVDataset(size=OV_SUPER * BATCH, seed=5,
