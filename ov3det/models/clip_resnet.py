@@ -77,6 +77,15 @@ class QuantConv(nn.Module):
       observed abs-max is sown into the `quant_stats` collection
       (max-reduced across calls, e.g. the chunked res5 head) for
       quantize_teacher_params to turn into `a_scale`.
+
+    use_bias=True is the FOLDED-BN production form: the frozen
+    FrozenBatchNorm that follows every trunk conv is an affine
+    `y*w_c + b_c` with load-time-constant w, b — quantize_teacher_params
+    composes it into this conv's dequant (`scale *= w`, `bias = b`) and
+    the module graph drops the BN node entirely.  One shorter fused
+    elementwise chain per conv (the dequant+BN+relu+requant passes were a
+    measured ~42 ms traced / ~20 ms wall of the round-4 OV step,
+    docs/PROFILE.md) and exact up to f32 reassociation.
     """
 
     features: int
@@ -84,6 +93,7 @@ class QuantConv(nn.Module):
     padding: int = 0
     dtype: Optional[jnp.dtype] = None
     static_act: bool = True
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -113,15 +123,20 @@ class QuantConv(nn.Module):
             preferred_element_type=jnp.int32,
         )
         out = y.astype(jnp.float32) * (s_x * scale)
+        if self.use_bias:  # folded frozen-BN shift (f32, fuses with dequant)
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
         return out.astype(self.dtype) if self.dtype is not None else out
 
 
 def _trunk_conv(quant, dtype, features, kernel_size, padding=0, name=None):
-    """Conv factory for the trunk: W8A8 QuantConv when `quant` is "static"
-    or "dynamic" (calibration), plain nn.Conv when falsy."""
+    """Conv factory for the trunk: W8A8 QuantConv when `quant` is "folded"
+    (production: static act scales + folded-BN bias, no BN module follows),
+    "static" (static act scales, separate BN) or "dynamic" (calibration),
+    plain nn.Conv when falsy."""
     if quant:
         return QuantConv(features, tuple(kernel_size), padding, dtype,
-                         static_act=(quant == "static"), name=name)
+                         static_act=(quant in ("static", "folded")),
+                         use_bias=(quant == "folded"), name=name)
     return nn.Conv(
         features, kernel_size, padding=padding, use_bias=False, dtype=dtype,
         name=name,
@@ -132,13 +147,18 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Optional[jnp.dtype] = None
-    quant: Any = False  # False | "static" | "dynamic" (see QuantConv)
+    quant: Any = False  # False | "folded" | "static" | "dynamic" (see QuantConv)
 
     @nn.compact
     def __call__(self, x):
         expansion = 4
         conv = partial(_trunk_conv, self.quant, self.dtype)
-        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+        # quant=="folded": the frozen BN affine lives in each QuantConv's
+        # dequant constants (quantize_teacher_params), so no BN node here
+        folded = self.quant == "folded"
+        bn = (lambda name: (lambda y: y)) if folded else (
+            lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
+        )
         out = conv(self.planes, (1, 1), name="conv1")(x)
         out = bn(name="bn1")(out)
         out = nn.relu(out)
@@ -270,19 +290,22 @@ class ModifiedResNetStem(nn.Module):
     def __call__(self, x):
         w = self.width
         conv = partial(_trunk_conv, self.quant, self.dtype)
-        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+        folded = self.quant == "folded"
+        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
         # conv1 stays a plain (bf16) conv even in int8 mode: it reads the
         # 3-channel normalized image (per-channel std does not fold into a
-        # per-tensor activation scale) and is <0.5% of trunk FLOPs
+        # per-tensor activation scale) and is <0.5% of trunk FLOPs.  Its
+        # bn1 therefore also stays a live module under quant=="folded"
+        # (folding only composes BN into QuantConv dequant constants).
         x = nn.Conv(
             w // 2, (3, 3), strides=2, padding=1, use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
         x = nn.relu(bn(name="bn1")(x))
         x = conv(w // 2, (3, 3), padding=1, name="conv2")(x)
-        x = nn.relu(bn(name="bn2")(x))
+        x = nn.relu(x if folded else bn(name="bn2")(x))
         x = conv(w, (3, 3), padding=1, name="conv3")(x)
-        x = nn.relu(bn(name="bn3")(x))
+        x = nn.relu(x if folded else bn(name="bn3")(x))
         return _avg_pool(x, 2, 2)
 
 

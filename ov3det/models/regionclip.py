@@ -61,7 +61,13 @@ class RegionCLIPTeacher(nn.Module):
         boxes: (B, Q, 4) [x1, y1, x2, y2] pixels.
         Returns (B, Q, embed_dim) region features."""
         B, Q = boxes.shape[:2]
-        quant = {"int8": "static", "int8_calib": "dynamic"}.get(
+        # "int8" production mode runs the FOLDED trunk: each QuantConv's
+        # dequant constants carry the frozen BN affine (written by
+        # quantize_teacher_params) and the BN modules are gone from the
+        # graph — one shorter HBM-bound elementwise chain per trunk conv.
+        # "int8_calib" keeps live BN modules (calibration runs on the
+        # pre-fold tree so the sown abs-max sees the exact same activations)
+        quant = {"int8": "folded", "int8_calib": "dynamic"}.get(
             self.compute_dtype, False
         )
         dtype = (
@@ -274,6 +280,44 @@ def quantize_teacher_params(
                 )
 
     inject(qvars["params"], stats)
+
+    # --- fold the frozen BN affine into each QuantConv's dequant ----------
+    # Every quantized trunk conv is immediately followed by a FrozenBatchNorm
+    # (convN -> bnN, downsample_conv -> downsample_bn); its inference affine
+    # y*w_c + b_c is a load-time constant, so compose it into the conv's
+    # per-channel dequant (scale *= w, bias = b) and DELETE the BN subtree —
+    # the "int8" module graph (quant=="folded") declares no BN after
+    # quantized convs.  Exact up to f32 reassociation (the BN previously
+    # applied in the compute dtype AFTER the dequant cast; folding applies
+    # it in f32 BEFORE the cast — slightly more precise).  The round-4
+    # trace motivates this: the dequant+BN+relu+requant chains between
+    # trunk convs were ~42 ms traced of pure HBM passes (docs/PROFILE.md).
+    eps = 1e-5  # FrozenBatchNorm.epsilon
+
+    def fold(tree):
+        for k in list(tree):
+            if k not in tree:  # bn entry already popped by its conv
+                continue
+            v = tree[k]
+            if not isinstance(v, dict):
+                continue
+            if "kernel_q" in v:
+                bn_key = (
+                    "downsample_bn" if k == "downsample_conv" else "bn" + k[-1]
+                )
+                bn = tree.pop(bn_key)  # KeyError = structural bug, want loud
+                var = np.asarray(bn["var"], np.float32)
+                w = np.asarray(bn["scale"], np.float32) / np.sqrt(var + eps)
+                b = (
+                    np.asarray(bn["bias"], np.float32)
+                    - np.asarray(bn["mean"], np.float32) * w
+                )
+                v["scale"] = jnp.asarray(np.asarray(v["scale"], np.float32) * w)
+                v["bias"] = jnp.asarray(b)
+            else:
+                fold(v)
+
+    fold(qvars["params"])
     return qvars
 
 

@@ -359,15 +359,20 @@ class TestInt8Teacher:
         qvars = quantize_teacher_params(
             variables, "int8",
             teacher=RegionCLIPTeacher(compute_dtype="int8", **kw0))
-        # every trunk conv except stem/conv1 must now carry kernel_q+scale
+        # every trunk conv except stem/conv1 must now carry kernel_q+scale,
+        # a calibrated a_scale, and the FOLDED frozen-BN constants (the bias
+        # plus the BN weight composed into scale); the BN subtree is gone
         stem = qvars["params"]["backbone"]["stem"]
         assert set(stem["conv1"]) == {"kernel"}          # excluded (image input)
-        assert set(stem["conv2"]) == {"kernel_q", "scale", "a_scale"}
+        assert "bn1" in stem                             # follows the plain conv1
+        assert set(stem["conv2"]) == {"kernel_q", "scale", "a_scale", "bias"}
+        assert "bn2" not in stem and "bn3" not in stem   # folded away
         assert stem["conv2"]["kernel_q"].dtype == jnp.int8
         assert stem["conv2"]["scale"].dtype == jnp.float32
         assert float(stem["conv2"]["a_scale"]) > 0.0  # calibrated, not init
         blk = qvars["params"]["backbone"]["layer2"]["block0"]
-        assert set(blk["downsample_conv"]) == {"kernel_q", "scale", "a_scale"}
+        assert set(blk["downsample_conv"]) == {"kernel_q", "scale", "a_scale", "bias"}
+        assert "downsample_bn" not in blk and "bn1" not in blk
         # attnpool projections untouched (kernel+bias Dense)
         attn = qvars["params"]["roi_head"]["attnpool"]
         assert "kernel" in attn["q_proj"] and "bias" in attn["q_proj"]
