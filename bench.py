@@ -15,6 +15,17 @@ XLA's own cost analysis, and the open-vocab configuration with the frozen
 RegionCLIP RN50x4 teacher in the loss (the reference's dominant cost:
 criterion.py:363-399).
 
+Open-vocab transport (round 5): images ride the DEVICE IMAGE BANK
+(datasets/image_bank.py) — the canvas is static per scene (the reference
+re-reads the same jpg every epoch of its 1080-epoch run), so the yuv420
+rows are uploaded ONCE at standup like the teacher weights, and measured
+steps ship only the per-step-fresh data (augmented q16 points + labels).
+The standup upload is timed outside the windows exactly like the teacher
+load: both are one-time costs a real multi-epoch run amortizes to zero,
+and the measured windows ARE the steady state of such a run.  The ScanNet
+parity config (scannet_quick shapes) runs LAST, budget-guarded
+("scannet_*" keys).
+
 Every section is wall-clock budget-guarded (default 1500 s total, override
 with --budget or BENCH_BUDGET_S): a section that would bust the budget is
 skipped and recorded as "skipped_<name>": "budget" instead of timing out
@@ -62,6 +73,7 @@ from ov3det.models import Model3DETR
 REFERENCE_SCENES_PER_SEC = 6.6  # see module docstring
 BATCH = 8
 NUM_POINTS = 20000
+SCANNET_NUM_POINTS = 40000  # reference scripts/scannet_quick.sh shapes
 WARMUP = 5
 STEP_ITERS = 30
 E2E_ITERS = 12  # ITEMS per window; median of 3 windows from ONE stream
@@ -69,16 +81,21 @@ E2E_ITERS = 12  # ITEMS per window; median of 3 windows from ONE stream
 # On this transport every per-batch put serializes behind in-flight compute
 # (~a full step of wall time each); grouping amortizes that to 1/G.
 SUPER = 8
-OV_SUPER = 4
+# OV groups are 8 batches too since round 5: with the device image bank the
+# group put carries only q16 points + labels (~8 MB vs the former ~23 MB
+# with inline yuv canvases), so doubling the group halves put/dispatch
+# round-trips per scene without the byte blowup that capped it at 4 before
+OV_SUPER = 8
 OV_WARMUP = 2
 OV_ITERS = 4  # items/window at OV_SUPER batches each
 OV_PL_ITERS = 4
-IMG_H, IMG_W = SyntheticOVDataset.IMG_H, SyntheticOVDataset.IMG_W
 QUANTIZE = ("point_clouds",)  # q16 H2D codec (datasets/loader.py)
-# OV adds the yuv420 image codec: the uint8 canvas is ~90% of the OV group
-# put, and SUN RGB-D sources are 4:2:0 JPEGs — the wire carries what the
-# files do (loader.py codec notes; fidelity in tests/test_loader.py +
-# tests/test_teacher_parity.py::test_yuv420_teacher_fidelity)
+# OV batches carry image_ref into the device image bank (one-time yuv420
+# upload at standup; datasets/image_bank.py) — the per-step put is points +
+# labels only.  "image" stays in the quantize tuple for any non-bank OV
+# dataset (it no-ops when the key is absent); the yuv codec itself is
+# fidelity-tested in tests/test_teacher_parity.py + raced in
+# tests/test_training_race_ov.py.
 OV_QUANTIZE = QUANTIZE + ("image",)
 # TPU v5e peak dense bf16 matmul throughput (public spec) — MFU denominator
 V5E_PEAK_FLOPS = 197e12
@@ -176,13 +193,14 @@ def rate_stats(rates):
     return (sorted(rates)[len(rates) // 2], min(rates), max(rates))
 
 
-def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
+def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660,
+          num_points=NUM_POINTS, image_bank=None, image_bank_hw=None):
     model = Model3DETR(cfg.model)
     rng = np.random.default_rng(0)
     batch_np = make_batch(
         rng,
         batch_size=BATCH,
-        num_points=NUM_POINTS,
+        num_points=num_points,
         num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
@@ -195,7 +213,8 @@ def build(cfg, teacher_fn=None, teacher_vars=None, iters_per_epoch=660):
     state, train_step, _, _ = build_training(
         cfg, model, inputs, iters_per_epoch=iters_per_epoch,
         rng=jax.random.PRNGKey(0), teacher_fn=teacher_fn,
-        teacher_vars=teacher_vars,
+        teacher_vars=teacher_vars, image_bank=image_bank,
+        image_bank_hw=image_bank_hw,
     )
     from ov3det.engine.train import make_packed_group_step, make_packed_step
 
@@ -254,42 +273,48 @@ def make_loader(ds, super_batch=1, quantize=QUANTIZE):
     )
 
 
-def bench_point_e2e(cfg, budget: Budget, extras: dict):
+def bench_point_e2e(cfg, budget: Budget, extras: dict,
+                    num_points=NUM_POINTS, kp="e2e", label="point",
+                    windows=3):
     """The HEADLINE number: fresh scenes through the DataLoader (host
     preproc + H2D + unpack fused into the scanned multi-step).  Runs FIRST
     so one fresh compile of the multi-step program (minutes through a
     remote-tunnel compile service, unbudgetable) cannot starve the
     scoreboard of the one number that matters.  Median of 3 windows:
     dispatch latency through the shared device tunnel wobbles run-to-run,
-    and a single window inherits that noise wholesale."""
-    note("building point-only model")
-    state, run_step, staged, train_step, group_step = build(cfg)
-    note("point e2e windows (first item compiles the group-step program)")
+    and a single window inherits that noise wholesale.  Parameterized so
+    the ScanNet section (40k-point scenes, 256 queries) reuses it with
+    its own key prefix `kp`."""
+    note(f"building {label} model")
+    state, run_step, staged, train_step, group_step = build(
+        cfg, num_points=num_points)
+    note(f"{label} e2e windows (first item compiles the group-step program)")
     ds = SyntheticDataset(
-        size=(WARMUP + 3 * E2E_ITERS) * SUPER * BATCH, seed=3,
-        num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
+        size=(WARMUP + windows * E2E_ITERS) * SUPER * BATCH, seed=3,
+        num_points=num_points, num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
     loader = make_loader(ds, super_batch=SUPER)
     rates, f_ms, d_ms = time_loader_windows(
-        run_step, state, loader, WARMUP, E2E_ITERS, 3, budget,
+        run_step, state, loader, WARMUP, E2E_ITERS, windows, budget,
         scenes_per_item=SUPER * BATCH,
     )
     loader.shutdown()
     e2e, lo, hi = rate_stats(rates)
-    extras["e2e_windows"] = len(rates)
-    extras["e2e_scenes_per_sec_min"] = round(lo, 3)
-    extras["e2e_scenes_per_sec_max"] = round(hi, 3)
-    extras["e2e_super_batch"] = SUPER
-    extras["e2e_fetch_ms_per_item"] = round(f_ms, 1)
-    extras["e2e_dispatch_ms_per_item"] = round(d_ms, 1)
-    note(f"point e2e {e2e:.1f} scenes/s [{lo:.1f}, {hi:.1f}] "
+    extras[f"{kp}_windows"] = len(rates)
+    extras[f"{kp}_scenes_per_sec_min"] = round(lo, 3)
+    extras[f"{kp}_scenes_per_sec_max"] = round(hi, 3)
+    extras[f"{kp}_super_batch"] = SUPER
+    extras[f"{kp}_fetch_ms_per_item"] = round(f_ms, 1)
+    extras[f"{kp}_dispatch_ms_per_item"] = round(d_ms, 1)
+    note(f"{label} e2e {e2e:.1f} scenes/s [{lo:.1f}, {hi:.1f}] "
          f"(fetch {f_ms:.0f}ms disp {d_ms:.0f}ms)")
     return e2e, state, run_step, staged, train_step, group_step
 
 
 def bench_point_step_only(cfg, state, run_step, staged, train_step, group_step,
-                          budget: Budget, extras: dict):
+                          budget: Budget, extras: dict,
+                          num_points=NUM_POINTS, kp="", with_mfu=True):
     """Device-compute ceiling + MFU: ONE staged device-resident group
     buffer, dependency-chained group dispatches — no H2D in the loop, and
     it reuses the exact program the e2e section already compiled (a second
@@ -298,14 +323,15 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step, group_step,
     same compiled program) so it can never be the section a cold driver
     run's budget drops."""
     if not budget.allows(120):
-        extras["skipped_step_only"] = "budget"
-        extras["skipped_mfu"] = "budget"
+        extras[f"skipped_{kp}step_only"] = "budget"
+        if with_mfu:
+            extras["skipped_mfu"] = "budget"
         return
-    note("step-only: chained groups on a staged device buffer")
+    note(f"{kp or 'point '}step-only: chained groups on a staged device buffer")
     from ov3det.datasets.loader import pack_batch
 
     ds = SyntheticDataset(
-        size=SUPER * BATCH, seed=7, num_points=NUM_POINTS,
+        size=SUPER * BATCH, seed=7, num_points=num_points,
         num_semcls=cfg.model.num_semcls, num_angle_bin=cfg.model.num_angle_bin,
     )
     bufs, metas = [], None
@@ -327,10 +353,12 @@ def bench_point_step_only(cfg, state, run_step, staged, train_step, group_step,
     iters = max(STEP_ITERS // SUPER, 3)
     dt, n = time_loop(run_step, state, [group] * (2 + iters), 2)
     step_only = SUPER * BATCH * n / dt
-    extras["step_only_scenes_per_sec"] = round(step_only, 3)
-    extras["step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
-    note(f"step-only {step_only:.1f} scenes/s")
+    extras[f"{kp}step_only_scenes_per_sec"] = round(step_only, 3)
+    extras[f"{kp}step_chained_ms"] = round(1e3 * BATCH / step_only, 2)
+    note(f"{kp or 'point '}step-only {step_only:.1f} scenes/s")
 
+    if not with_mfu:
+        return
     fl = group_flops(group_step, state, group)  # one BATCH-scene sub-step
     if fl > 0:
         flops_per_sec = fl * step_only / BATCH
@@ -365,9 +393,12 @@ def _teacher_vars_cached(teacher):
 
     from ov3det.models.regionclip import RegionCLIPTeacher, quantize_teacher_params
 
+    # v2: round-5 BN-folded dequant tree (quantize_teacher_params folds the
+    # frozen BN affine into each QuantConv's scale/bias — v1 trees have the
+    # old structure and must not be loaded into the folded module graph)
     cache = os.path.expanduser(
         f"~/.cache/ov3det/teacher_{teacher.compute_dtype}_w{teacher.width}"
-        f"_l{'-'.join(map(str, teacher.layers))}_v1.pkl"
+        f"_l{'-'.join(map(str, teacher.layers))}_v2.pkl"
     )
     if os.path.exists(cache):
         note(f"teacher tree from cache ({cache})")
@@ -406,6 +437,8 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
         quantize_teacher_params,
     )
 
+    from ov3det.datasets import BankRefDataset, build_image_bank
+
     ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
     # RN50x4 (width 80, layers (4,6,10,6)); int8 W8A8 trunk = the production
     # frozen-teacher config (measured 1.49-1.72x the bf16 trunk on v5e;
@@ -413,14 +446,31 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     teacher = RegionCLIPTeacher(compute_dtype="int8")
     t_vars = _teacher_vars_cached(teacher)
     teacher_fn = make_teacher_fn(teacher, per_layer=per_layer)
-    state, run_step, _, _, _ = build(
-        ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars)
 
-    ds = SyntheticOVDataset(
+    raw_ds = SyntheticOVDataset(
         size=(warmup + windows * iters) * OV_SUPER * BATCH, seed=5,
         num_points=NUM_POINTS, num_semcls=cfg.model.num_semcls,
         num_angle_bin=cfg.model.num_angle_bin,
     )
+    # Device-resident image bank (the production --image_bank path,
+    # datasets/image_bank.py): the canvas is STATIC per scene — real
+    # training re-reads the same jpg for 1080 epochs — so it is uploaded
+    # ONCE at standup (like the teacher weights) and each step gathers +
+    # decodes its rows on device.  The measured windows then carry only
+    # the per-step-fresh data (augmented q16 points + labels, ~8 MB/group
+    # vs ~23 MB with inline canvases) — the image put that serialized
+    # against compute on this tunnel (round-4 congested windows) is gone
+    # from the steady-state loop.  Standup cost: one yuv encode per scene
+    # + one bulk put, amortized over every epoch of a real run.
+    note(f"building device image bank ({len(raw_ds)} scenes)")
+    bank, bank_hw = build_image_bank(
+        raw_ds, sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    )
+    ds = BankRefDataset(raw_ds)
+    state, run_step, _, _, _ = build(
+        ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars,
+        image_bank=bank, image_bank_hw=bank_hw)
+
     loader = make_loader(ds, super_batch=OV_SUPER, quantize=OV_QUANTIZE)
     rates, f_ms, d_ms = time_loader_windows(
         run_step, state, loader, warmup, iters, windows, budget,
@@ -436,9 +486,8 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
         # device-compute ceiling for the OV step: ONE staged group buffer,
         # chained dispatches, zero H2D in the loop — REUSES the exact
         # program the e2e windows compiled (same metas), so this adds no
-        # standup cost.  On the tunnel transport the image bytes
-        # (~1.2 MB/scene at ~50 MB/s) cap the e2e number; this records
-        # what the compute path delivers on directly-attached hardware.
+        # standup cost.  Records what the compute path delivers with the
+        # transport fully out of the picture.
         from ov3det.datasets.loader import pack_batch
 
         note("ov step-only: chained groups on a staged device buffer")
@@ -498,7 +547,7 @@ def check_backend(timeout_s: float = 240.0) -> bool:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", nargs="?", default="all",
-                    choices=["all", "point", "ov"])
+                    choices=["all", "point", "ov", "scannet"])
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
                     help="total wall-clock budget in seconds")
@@ -533,8 +582,49 @@ def main():
         emit(result)
 
     _run_ov_sections(args, cfg, budget, result)
+    _run_scannet_section(args, budget, result)
 
     note(f"done in {time.perf_counter() - _T0:.0f}s")
+
+
+def _run_scannet_section(args, budget, result):
+    """ScanNet parity config (BASELINE.json config #2): scannet_quick
+    shapes — 40k-point scenes, 256 queries, 18 classes, giou_weight 1
+    (reference scripts/scannet_quick.sh) — e2e + step-only.  A materially
+    different program from the SUN RGB-D one (40k->2048 pre-encoder, 2x
+    the queries through the decoder/matcher/criterion), so it gets its own
+    compile; runs LAST and budget-guarded so a cold standup can only cost
+    this section, never the headline."""
+    if args.mode not in ("all", "scannet"):
+        return
+    if not budget.allows(240):
+        result["skipped_scannet"] = "budget"
+        emit(result)
+        return
+    from ov3det.config import scannet_quick
+
+    try:
+        cfg = scannet_quick()
+        extras = {}
+        e2e, *ctx = bench_point_e2e(
+            cfg, budget, extras, num_points=SCANNET_NUM_POINTS,
+            kp="scannet", label="scannet",
+        )
+        result["scannet_scenes_per_sec"] = round(e2e, 3)
+        result["scannet_vs_baseline"] = round(e2e / REFERENCE_SCENES_PER_SEC, 3)
+        result.update(extras)
+        bench_point_step_only(
+            cfg, *ctx, budget, result, num_points=SCANNET_NUM_POINTS,
+            kp="scannet_", with_mfu=False,
+        )
+        if "scannet_step_only_scenes_per_sec" in result:
+            result["scannet_step_only_vs_baseline"] = round(
+                result["scannet_step_only_scenes_per_sec"]
+                / REFERENCE_SCENES_PER_SEC, 3,
+            )
+    except Exception as exc:  # pragma: no cover - keep earlier sections alive
+        result["scannet_error"] = f"{type(exc).__name__}: {exc}"[:600]
+    emit(result)
 
 
 def _run_ov_sections(args, cfg, budget, result):
@@ -545,10 +635,10 @@ def _run_ov_sections(args, cfg, budget, result):
             emit(result)
             return
         try:
-            # 5 windows (vs point's 3): the OV put is 23 MB/group and tunnel
-            # congestion hits single windows hard (measured 33/33/68 within
-            # one run) — a 5-window median rides out one bad window at ~10 s
-            # of warm-cache cost; the budget guard still stops early if cold
+            # 5 windows (vs point's 3): tunnel congestion hits single
+            # windows hard (round 4 measured 33/33/68 within one run, pre
+            # image-bank) — a 5-window median rides out one bad window at
+            # ~10 s of warm-cache cost; the budget guard stops early if cold
             (rate, lo, hi), f_ms, d_ms, ov_so = bench_ov(
                 cfg, False, OV_WARMUP, OV_ITERS, 5, budget
             )

@@ -164,6 +164,11 @@ class DataConfig:
     # the image bytes; SUN RGB-D sources are 4:2:0 JPEGs, so the dropped
     # chroma detail never existed in the files — loader.py yuv420 codec)
     yuv_images: bool = False
+    # device-resident image bank: upload every scene's yuv420 canvas ONCE
+    # at startup (~0.58 MB/scene of HBM; full SUN RGB-D train ~3 GB) and
+    # ship a 4-byte image_ref per sample instead — steady-state steps move
+    # zero image bytes host->device (datasets/image_bank.py)
+    image_bank: bool = False
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,8 @@ def _worker_init(ds_bytes: bytes):
     _WORKER_DATASET = pickle.loads(ds_bytes)
 
 
-def _build_batch(dataset, idxs, valid_mask, packed: bool, quantize=()):
+def _build_batch(dataset, idxs, valid_mask, packed: bool, quantize=(),
+                 enc_cache=None, cache_keys=()):
     """Fetch + collate (+ pack) one whole batch; runs INSIDE a worker.
 
     Batch-level parallelism (torch DataLoader semantics: each worker owns
@@ -55,7 +56,12 @@ def _build_batch(dataset, idxs, valid_mask, packed: bool, quantize=()):
     batch = collate([dataset[int(i)] for i in idxs])
     if valid_mask is not None:
         batch["valid_mask"] = valid_mask
-    return pack_batch(batch, quantize) if packed else batch
+    return (
+        pack_batch(batch, quantize, idxs=idxs, enc_cache=enc_cache,
+                   cache_keys=cache_keys)
+        if packed
+        else batch
+    )
 
 
 def _worker_build_batch(idxs, valid_mask, packed, quantize=()):
@@ -180,24 +186,54 @@ def _q16_encode(a: np.ndarray) -> np.ndarray:
     )
 
 
-def pack_batch(batch: dict, quantize=()):
+def _cached_encode(encode_fn, sample, key, idx, enc_cache):
+    """Per-(key, dataset-index) memo of an encoded row.  Only for keys the
+    caller DECLARED deterministic per index (DataLoader(encode_cache=...)):
+    image canvases are loaded raw and never touched by augmentation
+    (datasets/sunrgbd.py loads the jpg verbatim; flips/rotations transform
+    points and boxes only), so their encoded bytes repeat exactly every
+    epoch — on the 1-core bench host the yuv re-encode was a measured
+    328 ms/group of avoidable hot-loop CPU (BENCH_r04.json).  dict ops are
+    GIL-atomic; a racing duplicate encode is benign (same bytes)."""
+    if enc_cache is None or idx is None:
+        return encode_fn(np.asarray(sample))
+    ck = (key, int(idx))
+    row = enc_cache.get(ck)
+    if row is None:
+        row = encode_fn(np.asarray(sample))
+        enc_cache[ck] = row
+    return row
+
+
+def pack_batch(batch: dict, quantize=(), idxs=None, enc_cache=None,
+               cache_keys=()):
     """Host-side: dict of np arrays -> (uint8 buffer, static metas).
 
     64-bit ints/floats are narrowed to 32-bit (matching what device_put
     does under JAX's default x32 mode) and bools widen to uint8.  Keys in
     `quantize` that are float32 (B, N, C) ship q16-encoded (see codec
-    notes above); unpack_batch dequantizes on device.
+    notes above); unpack_batch dequantizes on device.  Keys in
+    `cache_keys` memoize their encoded rows per dataset index (`idxs`,
+    parallel to the batch axis) in `enc_cache` — see _cached_encode.
     """
     metas, parts = [], []
     for k in sorted(batch):
         a = np.ascontiguousarray(batch[k])
+        cache = enc_cache if k in cache_keys else None
+        idx_of = (lambda b: idxs[b]) if idxs is not None else (lambda b: None)
         if _q16_eligible(k, a.dtype, a.ndim - 1, quantize):
-            rows = [_q16_encode(a[b]) for b in range(a.shape[0])]
+            rows = [
+                _cached_encode(_q16_encode, a[b], k, idx_of(b), cache)
+                for b in range(a.shape[0])
+            ]
             metas.append((k, _Q16_TAG, a.shape, a.shape[0] * rows[0].size))
             parts.extend(rows)
             continue
         if _yuv_eligible(k, a.dtype, a.shape[1:], quantize):
-            rows = [_yuv420_encode(a[b]) for b in range(a.shape[0])]
+            rows = [
+                _cached_encode(_yuv420_encode, a[b], k, idx_of(b), cache)
+                for b in range(a.shape[0])
+            ]
             metas.append((k, _YUV_TAG, a.shape, a.shape[0] * rows[0].size))
             parts.extend(rows)
             continue
@@ -253,14 +289,17 @@ def batch_metas(sample: dict, batch_size: int, with_valid_mask: bool,
     return tuple(metas), sum(m[3] for m in metas)
 
 
-def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas):
+def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas,
+                       idxs=None, enc_cache=None, cache_keys=()):
     """Write samples straight into a preallocated packed row (uint8 view
     copies — no collate stack, no concatenate, no fresh allocation).  On
     hosts with slow page faults every fresh multi-MB batch buffer costs
     10-300 ms of first-touch; writing into a warm ring row is a plain
-    memcpy."""
+    memcpy.  Keys in `cache_keys` memoize encoded rows per dataset index
+    (see _cached_encode)."""
     off = 0
     B = len(samples)
+    idx_of = (lambda s: idxs[s]) if idxs is not None else (lambda s: None)
     for k, dts, shape, size in metas:
         if k == "valid_mask":
             out_row[off : off + size] = (
@@ -269,17 +308,18 @@ def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas):
             off += size
             continue
         nb = size // B
+        cache = enc_cache if k in cache_keys else None
         if dts == _Q16_TAG:
             for s, smp in enumerate(samples):
-                out_row[off + s * nb : off + (s + 1) * nb] = _q16_encode(
-                    np.asarray(smp[k])
+                out_row[off + s * nb : off + (s + 1) * nb] = _cached_encode(
+                    _q16_encode, smp[k], k, idx_of(s), cache
                 )
             off += size
             continue
         if dts == _YUV_TAG:
             for s, smp in enumerate(samples):
-                out_row[off + s * nb : off + (s + 1) * nb] = _yuv420_encode(
-                    np.asarray(smp[k])
+                out_row[off + s * nb : off + (s + 1) * nb] = _cached_encode(
+                    _yuv420_encode, smp[k], k, idx_of(s), cache
                 )
             off += size
             continue
@@ -293,12 +333,38 @@ def _pack_samples_into(samples, valid_mask, out_row: np.ndarray, metas):
         off += size
 
 
-def _build_batch_direct(dataset, idxs, valid_mask, out_row, metas):
+def _build_batch_direct(dataset, idxs, valid_mask, out_row, metas,
+                        enc_cache=None, cache_keys=()):
     """Worker body for the zero-copy direct-write path."""
     _pack_samples_into(
-        [dataset[int(i)] for i in idxs], valid_mask, out_row, metas
+        [dataset[int(i)] for i in idxs], valid_mask, out_row, metas,
+        idxs=idxs, enc_cache=enc_cache, cache_keys=cache_keys,
     )
     return True
+
+
+def yuv420_decode_rows(rows, shape):
+    """Device-side yuv420 -> uint8 RGB: rows (B, row_bytes) laid out per
+    sample as [Y*F | U*F | V*F] (see _yuv420_encode), `shape` the target
+    (B, ..., H, W, 3).  Traceable (used inside unpack_batch and by the
+    device-resident image bank's per-step decode, datasets/image_bank.py)."""
+    B = shape[0]
+    h, w = shape[-3], shape[-2]
+    F = int(np.prod(shape[:-3], dtype=np.int64)) // B  # frames/sample
+    ny, nc = h * w, (h // 2) * (w // 2)
+    y = rows[:, : F * ny].reshape(-1, h, w).astype(jnp.float32)
+    u = rows[:, F * ny : F * (ny + nc)].reshape(-1, h // 2, w // 2)
+    v = rows[:, F * (ny + nc) :].reshape(-1, h // 2, w // 2)
+    # nearest 2x2 chroma upsample + JPEG inverse BT.601, all fused
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
+    rgb = jnp.stack(
+        [y + 1.402 * v,
+         y - 0.344136 * u - 0.714136 * v,
+         y + 1.772 * u],
+        axis=-1,
+    )
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8).reshape(shape)
 
 
 @partial(jax.jit, static_argnames=("metas",))
@@ -324,23 +390,8 @@ def unpack_batch(buf, metas) -> dict:
             continue
         if dts == _YUV_TAG:
             B = shape[0]
-            h, w = shape[-3], shape[-2]
-            F = int(np.prod(shape[:-3], dtype=np.int64)) // B  # frames/sample
             rows = seg.reshape(B, size // B)  # per-sample [Y*F | U*F | V*F]
-            ny, nc = h * w, (h // 2) * (w // 2)
-            y = rows[:, : F * ny].reshape(-1, h, w).astype(jnp.float32)
-            u = rows[:, F * ny : F * (ny + nc)].reshape(-1, h // 2, w // 2)
-            v = rows[:, F * (ny + nc) :].reshape(-1, h // 2, w // 2)
-            # nearest 2x2 chroma upsample + JPEG inverse BT.601, all fused
-            u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
-            v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
-            rgb = jnp.stack(
-                [y + 1.402 * v,
-                 y - 0.344136 * u - 0.714136 * v,
-                 y + 1.772 * u],
-                axis=-1,
-            )
-            out[k] = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8).reshape(shape)
+            out[k] = yuv420_decode_rows(rows, shape)
             off += size
             continue
         dt = np.dtype(dts)
@@ -387,6 +438,7 @@ class DataLoader:
         transfer: str = "tree",
         super_batch: int = 1,
         quantize: tuple = (),
+        encode_cache: tuple = (),
     ):
         """batch_size is the GLOBAL batch; under multi-host each process
         fetches batch_size / process_count samples per step.  Without a
@@ -403,6 +455,13 @@ class DataLoader:
         engine.make_packed_step so the unpack fuses into the train step
         (one dispatch per batch instead of two); call loader.unpack(item)
         when the dict form is needed (metrics/eval).
+
+        encode_cache lists quantize keys whose ENCODED row is deterministic
+        per dataset index (e.g. the raw image canvas: augmentation never
+        touches it) — their q16/yuv encodes are memoized across epochs
+        (thread workers only; process workers don't share host memory).
+        Memory: one encoded row per (key, scene) — e.g. full SUN RGB-D
+        yuv canvases are ~0.58 MB x 5285 scenes ~= 3 GB of host RAM.
 
         super_batch=G (packed_device only) groups G consecutive batches
         into ONE (G, nbytes) device buffer: one H2D put and one dispatch
@@ -448,6 +507,11 @@ class DataLoader:
         assert not self.quantize or transfer != "tree", (
             "the q16 codec rides the packed transfer layout"
         )
+        self.encode_cache = tuple(encode_cache)
+        assert not self.encode_cache or worker_type == "thread", (
+            "encode_cache memoization needs in-process (thread) workers"
+        )
+        self._enc_cache: dict = {}
         self._pool = None
         assert batch_size % self.process_count == 0, (batch_size, self.process_count)
         self._epoch = 0
@@ -556,13 +620,14 @@ class DataLoader:
                 row = d_ring[(job // G) % d_depth][job % G]
                 return pool.submit(
                     _build_batch_direct, self.dataset, local, valid_mask,
-                    row, d_metas,
+                    row, d_metas, self._enc_cache, self.encode_cache,
                 )
             if self.worker_type == "process":
                 return pool.submit(_worker_build_batch, local, valid_mask,
                                    packed, self.quantize)
             return pool.submit(_build_batch, self.dataset, local, valid_mask,
-                               packed, self.quantize)
+                               packed, self.quantize, self._enc_cache,
+                               self.encode_cache)
 
         def producer():
             # batch-level pipeline: keep up to num_workers batches in

@@ -11,7 +11,7 @@ from ov3det.config import DataConfig
 from ov3det.datasets.dataset_configs import ScannetDatasetConfig, SunrgbdDatasetConfig
 from ov3det.datasets.scannet import ScannetDetectionDataset
 from ov3det.datasets.sunrgbd import SunrgbdDetectionDataset
-from ov3det.datasets.synthetic import SyntheticDataset
+from ov3det.datasets.synthetic import SyntheticDataset, SyntheticOVDataset
 
 
 def build_dataset(cfg: DataConfig, splits=("train", "test")):
@@ -71,9 +71,13 @@ def build_dataset(cfg: DataConfig, splits=("train", "test")):
             datasets["inference"] = make("train", False)
     elif name == "synthetic":
         dataset_config = ScannetDatasetConfig()
+        # --use_image: the OV variant adds 530x730 canvases + calibration in
+        # the SUN RGB-D schema so the open-vocab path (teacher, image bank)
+        # is drivable data-free
+        cls = SyntheticOVDataset if cfg.use_image else SyntheticDataset
         for split, seed in (("train", 1), ("test", 2), ("inference", 1)):
             if split in splits:
-                datasets[split] = SyntheticDataset(
+                datasets[split] = cls(
                     size=64 if split == "train" else 16,
                     seed=seed,
                     num_points=cfg.num_points,

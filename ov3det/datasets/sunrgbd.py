@@ -99,6 +99,13 @@ class SunrgbdDetectionDataset:
         canvas[:h, :w] = img
         return Rtilt, K, canvas, h, w
 
+    def get_image(self, idx: int) -> np.ndarray:
+        """Image-only fast path for the device image bank
+        (datasets/image_bank.py): the canvas is the raw jpg on the fixed
+        padded canvas — augmentation never touches it, so it is
+        deterministic per scene."""
+        return self._load_image_calib(self.scan_names[idx])[2]
+
     def __getitem__(self, idx: int) -> dict:
         rng = np.random.default_rng(
             None if self.augment else self.seed * 100003 + idx

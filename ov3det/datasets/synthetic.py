@@ -171,16 +171,22 @@ class SyntheticOVDataset(SyntheticDataset):
     )
     _K = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
 
-    def __getitem__(self, idx: int) -> dict:
-        d = super().__getitem__(idx)
+    def get_image(self, idx: int) -> np.ndarray:
+        """Image-only fast path (deterministic per idx — the canvas rng is
+        seeded independently of the scene rng), used by the device image
+        bank builder (datasets/image_bank.py)."""
         rng = np.random.default_rng(self.seed * 7919 + idx)
         # uint8 end-to-end: 4x less H2D than a float canvas; the teacher
         # normalizes (and so promotes) on device.  Native-uint8 generation:
         # the default int64 draw + astype wrote 74 MB of intermediates per
         # canvas batch and was ~6 ms/scene of the OV loader's host budget.
-        d["image"] = rng.integers(
+        return rng.integers(
             0, 256, size=(self.IMG_H, self.IMG_W, 3), dtype=np.uint8
         )
+
+    def __getitem__(self, idx: int) -> dict:
+        d = super().__getitem__(idx)
+        d["image"] = self.get_image(idx)
         d["image_height"] = np.int32(self.IMG_H)
         d["image_width"] = np.int32(self.IMG_W)
         d["calib_Rtilt"] = self._RTILT

@@ -16,18 +16,24 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _split_teacher(state):
-    """Detach the frozen 2D-teacher weights from a TrainState (if present).
+_DETACHED_FROZEN = ("teacher2d", "image_bank")
 
-    They are loaded from the RegionCLIP checkpoint and never change, so
-    persisting them in every train checkpoint would add ~180MB per save and
-    make checkpoints structurally incompatible between teacher/no-teacher
-    runs (the reference likewise keeps the teacher outside its model
+
+def _split_teacher(state):
+    """Detach reloadable static data from a TrainState (if present):
+    the frozen 2D-teacher weights and the device-resident image bank.
+
+    Both are loaded from source data (RegionCLIP checkpoint / dataset
+    canvases) and never change, so persisting them in every train
+    checkpoint would add ~180MB (teacher) + up to ~3GB (bank) per save and
+    make checkpoints structurally incompatible between configurations
+    (the reference likewise keeps the teacher outside its model
     state_dict — it lives in the criterion, criterion.py:397)."""
     frozen = getattr(state, "frozen", None)
-    if isinstance(frozen, dict) and "teacher2d" in frozen:
-        kept = {k: v for k, v in frozen.items() if k != "teacher2d"}
-        return state.replace(frozen=kept), frozen["teacher2d"]
+    if isinstance(frozen, dict) and any(k in frozen for k in _DETACHED_FROZEN):
+        kept = {k: v for k, v in frozen.items() if k not in _DETACHED_FROZEN}
+        detached = {k: frozen[k] for k in _DETACHED_FROZEN if k in frozen}
+        return state.replace(frozen=kept), detached
     return state, None
 
 
@@ -87,9 +93,9 @@ class CheckpointManager:
         restored = self._ckptr.restore(path, abstract)
         state = restored["state"]
         if teacher is not None:
-            # reattach the LIVE teacher weights (frozen; sourced from the
-            # RegionCLIP checkpoint, not from this train checkpoint)
-            state = state.replace(frozen={**state.frozen, "teacher2d": teacher})
+            # reattach the LIVE detached entries (teacher weights / image
+            # bank — frozen; sourced externally, not from this checkpoint)
+            state = state.replace(frozen={**state.frozen, **teacher})
         extra = None
         if os.path.isfile(path + ".extra.json"):
             with open(path + ".extra.json") as fh:

@@ -61,6 +61,7 @@ def create_train_state(
     rng: jax.Array,
     text_embed: Optional[jnp.ndarray] = None,
     teacher_vars: Optional[Any] = None,
+    image_bank: Optional[jnp.ndarray] = None,
 ) -> TrainState:
     # jit the initializer: eager init dispatches thousands of tiny ops,
     # which is pathological over a remote-device transport
@@ -74,6 +75,11 @@ def create_train_state(
         # RN50x4 tree inflates the program to ~350MB otherwise); the
         # checkpointer strips this key (see engine/checkpoint.py)
         frozen["teacher2d"] = teacher_vars
+    if image_bank is not None:
+        # device-resident yuv420 canvases for the frozen teacher (static
+        # per scene — datasets/image_bank.py); stripped at checkpoint like
+        # the teacher weights
+        frozen["image_bank"] = image_bank
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -84,6 +90,25 @@ def create_train_state(
     )
 
 
+def _decode_banked_images(batch: dict, frozen: dict, hw) -> dict:
+    """Reconstruct batch["image"] from the device-resident bank.
+
+    Bank mode (datasets/image_bank.py): batches carry a 4-byte image_ref
+    per sample instead of the ~0.58 MB encoded canvas; the gather + yuv
+    decode fuse into the train step, and steady-state steps move zero
+    image bytes host->device.  `hw` is the static canvas geometry."""
+    if hw is None or "image_ref" not in batch or "image" in batch:
+        return batch
+    from ov3det.datasets.loader import yuv420_decode_rows
+
+    rows = jnp.take(frozen["image_bank"], batch["image_ref"], axis=0)
+    batch = dict(batch)
+    batch["image"] = yuv420_decode_rows(
+        rows, (batch["image_ref"].shape[0], hw[0], hw[1], 3)
+    )
+    return batch
+
+
 def make_train_step(
     model: Model3DETR,
     tx,
@@ -91,15 +116,20 @@ def make_train_step(
     num_angle_bin: int,
     num_semcls: int,
     teacher_fn: Optional[Callable] = None,
+    image_bank_hw: Optional[tuple] = None,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     teacher_fn: optional callable (teacher_vars, batch, outputs) ->
     (B, Q, C) frozen 2D-teacher region features for the distillation loss;
-    its weights come from state.frozen["teacher2d"].
+    its weights come from state.frozen["teacher2d"].  image_bank_hw: the
+    (H, W) canvas geometry when images ride the device-resident bank
+    (state.frozen["image_bank"]) instead of the batch.
     """
 
     def loss_fn(params, state, batch, rng):
+        if teacher_fn is not None:
+            batch = _decode_banked_images(batch, state.frozen, image_bank_hw)
         inputs = {
             "point_clouds": batch["point_clouds"],
             "point_cloud_dims_min": batch["point_cloud_dims_min"],
@@ -294,12 +324,15 @@ def build_training(
     teacher_fn=None,
     teacher_vars=None,
     eval_loss: bool = False,
+    image_bank=None,
+    image_bank_hw: Optional[tuple] = None,
 ):
     """Wire schedule + optimizer + state + steps from a TrainConfig."""
     schedule = make_lr_schedule(cfg.optim, cfg.max_epoch, iters_per_epoch)
     tx = build_optimizer(cfg.optim, schedule)
     state = create_train_state(
-        model, tx, example_inputs, rng, text_embed, teacher_vars=teacher_vars
+        model, tx, example_inputs, rng, text_embed, teacher_vars=teacher_vars,
+        image_bank=image_bank,
     )
     train_step = make_train_step(
         model,
@@ -308,6 +341,7 @@ def build_training(
         num_angle_bin=cfg.model.num_angle_bin,
         num_semcls=cfg.model.num_semcls,
         teacher_fn=teacher_fn,
+        image_bank_hw=image_bank_hw,
     )
     eval_step = make_eval_step(
         model,

@@ -116,6 +116,12 @@ def make_args_parser():
                    help="ship uint8 RGB canvases as 4:2:0 YUV on the packed "
                    "H2D path (halves the image bytes; lossless vs the "
                    "4:2:0-JPEG SUN RGB-D sources' chroma content)")
+    p.add_argument("--image_bank", default=False, action="store_true",
+                   help="upload every training scene's yuv420 canvas to the "
+                   "device ONCE at startup and ship a 4-byte image_ref per "
+                   "sample instead (zero steady-state image H2D; ~0.58 MB "
+                   "HBM/scene — full SUN RGB-D train is ~3 GB); needs "
+                   "--use_image")
     p.add_argument("--num_points", default=None, type=int)
     p.add_argument("--pseudo_label_dir", type=str, default=None)
     p.add_argument("--clip_embed_path", type=str, default=None)
@@ -246,6 +252,7 @@ def config_from_args(args) -> TrainConfig:
             super_batch=args.super_batch,
             quantize_points=args.quantize_points,
             yuv_images=args.yuv_images,
+            image_bank=args.image_bank,
         ),
         teacher=TeacherConfig(
             enabled=args.use_image,
@@ -396,6 +403,20 @@ def do_train(cfg: TrainConfig, args=None):
         transfer = "packed" if jax.process_count() == 1 else "tree"
 
     datasets, dataset_config = build_dataset(cfg.data)
+    image_bank = image_bank_hw = None
+    if cfg.data.image_bank:
+        # device-resident canvases for the frozen teacher: encode + upload
+        # once here (like the teacher weights), train batches then carry a
+        # 4-byte image_ref each (datasets/image_bank.py); the bank rides
+        # state.frozen so mesh replication and checkpoint-stripping treat
+        # it exactly like the teacher tree
+        assert cfg.data.use_image and cfg.teacher.enabled, (
+            "--image_bank needs --use_image (the bank feeds the 2D teacher)"
+        )
+        from ov3det.datasets import BankRefDataset, build_image_bank
+
+        image_bank, image_bank_hw = build_image_bank(datasets["train"])
+        datasets = {**datasets, "train": BankRefDataset(datasets["train"])}
     train_transfer = "packed_device" if transfer == "packed" else transfer
     super_batch = cfg.data.super_batch if train_transfer == "packed_device" else 1
     train_loader = DataLoader(
@@ -449,6 +470,8 @@ def do_train(cfg: TrainConfig, args=None):
         teacher_fn=teacher_fn,
         teacher_vars=teacher_vars,
         eval_loss=cfg.eval_loss,
+        image_bank=image_bank,
+        image_bank_hw=image_bank_hw,
     )
     if mesh:
         state = replicate(state, mesh)
