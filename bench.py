@@ -393,12 +393,14 @@ def _teacher_vars_cached(teacher):
 
     from ov3det.models.regionclip import RegionCLIPTeacher, quantize_teacher_params
 
-    # v2: round-5 BN-folded dequant tree (quantize_teacher_params folds the
+    # v3: round-5 BN-folded dequant tree (quantize_teacher_params folds the
     # frozen BN affine into each QuantConv's scale/bias — v1 trees have the
     # old structure and must not be loaded into the folded module graph)
+    # + smooth-content default calibration batch (different a_scales than
+    # the v1/v2 uniform-noise calibration)
     cache = os.path.expanduser(
         f"~/.cache/ov3det/teacher_{teacher.compute_dtype}_w{teacher.width}"
-        f"_l{'-'.join(map(str, teacher.layers))}_v2.pkl"
+        f"_l{'-'.join(map(str, teacher.layers))}_v3.pkl"
     )
     if os.path.exists(cache):
         note(f"teacher tree from cache ({cache})")

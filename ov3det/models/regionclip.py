@@ -169,6 +169,36 @@ def cast_teacher_params(variables, compute_dtype: Optional[str] = "bfloat16"):
     return walk(raw, ())
 
 
+def _bilinear_upsample_np(low: np.ndarray, H: int, W: int) -> np.ndarray:
+    """(h, w, C) -> (H, W, C) separable bilinear resize, pure numpy (no
+    scipy/cv2 dependency in the package)."""
+    h, w, _ = low.shape
+
+    def axis_lerp(a, n_out, axis):
+        n_in = a.shape[axis]
+        pos = np.linspace(0.0, n_in - 1.0, n_out, dtype=np.float32)
+        i0 = np.floor(pos).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        t = (pos - i0).astype(np.float32)
+        lo = np.take(a, i0, axis=axis)
+        hi = np.take(a, i1, axis=axis)
+        shape = [1] * a.ndim
+        shape[axis] = n_out
+        return lo + (hi - lo) * t.reshape(shape)
+
+    return axis_lerp(axis_lerp(low.astype(np.float32), H, 0), W, 1)
+
+
+def _smooth_calibration_images(rng, B: int, H: int, W: int) -> np.ndarray:
+    """Default PTQ calibration content: low-frequency bilinear base +-30
+    per-pixel luma detail — the activation distribution real (4:2:0 JPEG)
+    camera content drives, unlike uniform noise (see quantize docstring)."""
+    low = rng.uniform(30.0, 225.0, size=(B, H // 8 + 1, W // 8 + 1, 3))
+    base = np.stack([_bilinear_upsample_np(low[b], H, W) for b in range(B)])
+    luma = rng.uniform(-30.0, 30.0, size=(B, H, W, 1))
+    return np.clip(base + luma, 0.0, 255.0).astype(np.float32)
+
+
 def quantize_teacher_params(
     variables,
     compute_dtype: Optional[str] = "int8",
@@ -246,7 +276,13 @@ def quantize_teacher_params(
     if calib is None:
         rng = np.random.default_rng(0)
         ih = iw = max(64, int(teacher.image_resolution))
-        images = rng.uniform(0.0, 255.0, size=(1, ih, iw, 3)).astype(np.float32)
+        # SMOOTH synthetic content, not uniform noise: camera images are
+        # low-frequency with sparse edges, and uniform per-pixel noise
+        # drives early-conv activations to ranges real content never
+        # reaches (over-wide a_scale = wasted int8 resolution on every
+        # real image).  Low-frequency bilinear base + mild per-pixel luma
+        # detail mirrors what the yuv fidelity tests use.
+        images = _smooth_calibration_images(rng, 1, ih, iw)
         x1 = rng.uniform(0, iw * 0.5, size=(1, 8)).astype(np.float32)
         y1 = rng.uniform(0, ih * 0.5, size=(1, 8)).astype(np.float32)
         boxes = np.stack(

@@ -26,8 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_step_matches_single_process():
+def _race_two_processes(mode: str):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -36,7 +35,7 @@ def test_two_process_step_matches_single_process():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(rank), str(port), "2"],
+            [sys.executable, WORKER, str(rank), str(port), "2", mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
@@ -65,5 +64,20 @@ def test_two_process_step_matches_single_process():
     # single-process run of the same global batch through the same code
     from tests.multiproc_worker import run_one_step
 
-    want = run_one_step(num_mesh_devices=2)
+    want = run_one_step(num_mesh_devices=2, ov=(mode == "ov"))
     np.testing.assert_allclose(losses[0], want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process():
+    _race_two_processes("point")
+
+
+@pytest.mark.slow
+def test_two_process_ov_step_matches_single_process():
+    """The FLAGSHIP config across real process boundaries: tiny int8
+    RegionCLIP teacher (deterministically quantized in each process) +
+    2D-alignment loss, image/calib fields through the global-assembly
+    loader — sharded loss == single-process loss (VERDICT r4 item 8;
+    reference main.py:405-411)."""
+    _race_two_processes("ov")

@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tests.ref_oracle import CLIPModifiedResNet, roi_align_oracle
@@ -433,6 +434,61 @@ class TestInt8Teacher:
         f32 = np.asarray(RegionCLIPTeacher(**kw).apply(
             variables, jnp.asarray(images), jnp.asarray(boxes)
         )).reshape(B * Q, 640)
+        qvars = quantize_teacher_params(
+            variables, "int8",
+            teacher=RegionCLIPTeacher(compute_dtype="int8", **kw))
+        i8 = np.asarray(RegionCLIPTeacher(compute_dtype="int8", **kw).apply(
+            qvars, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640).astype(np.float32)
+        cos = (f32 * i8).sum(-1) / (
+            np.linalg.norm(f32, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-8
+        )
+        assert (cos > 0.99).all(), cos
+
+    @pytest.mark.slow
+    def test_int8_tracks_f32_at_production_depth(self):
+        """VERDICT round-4 gate: int8 fidelity at the PRODUCTION geometry —
+        width 80 AND layers (4,6,10,6) (26 bottlenecks; the width-80 tests
+        above run 4).  Per-tensor activation-scale error compounds with
+        depth, so this is the configuration the benched teacher actually
+        runs (reference models/model_regionclip.py:15-22 = RN50x4).
+
+        Calibration and evaluation use DIFFERENT smooth low-frequency
+        images (the activation distribution 4:2:0 camera JPEGs drive — the
+        default calibration batch is the same generator); the oracle is
+        the f32 JAX tower, itself torch-parity-tested at width 80 above
+        (depth only repeats converter-identical blocks)."""
+        from ov3det.models.regionclip import (
+            _smooth_calibration_images,
+            quantize_teacher_params,
+        )
+
+        kw = dict(width=80, layers=(4, 6, 10, 6), embed_dim=640,
+                  pooler_resolution=6, pooler_scale=1.0 / 16.0,
+                  image_resolution=96)
+        f32_teacher = RegionCLIPTeacher(**kw)
+        variables = jax.jit(
+            lambda: f32_teacher.init(
+                jax.random.PRNGKey(23),
+                jnp.zeros((1, 64, 96, 3), jnp.float32),
+                jnp.zeros((1, 1, 4)),
+            )
+        )()
+
+        rng = np.random.default_rng(24)
+        B, Q = 1, 6
+        images = _smooth_calibration_images(rng, B, 64, 96)  # eval content
+        x1 = rng.uniform(0, 50, size=(B, Q)).astype(np.float32)
+        y1 = rng.uniform(0, 30, size=(B, Q)).astype(np.float32)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(8, 40, (B, Q)),
+             y1 + rng.uniform(8, 30, (B, Q))], axis=-1).astype(np.float32)
+
+        f32 = np.asarray(f32_teacher.apply(
+            variables, jnp.asarray(images), jnp.asarray(boxes)
+        )).reshape(B * Q, 640)
+        # default calib batch: the same smooth generator, DIFFERENT seed
+        # (rng(0) inside quantize_teacher_params) and different boxes
         qvars = quantize_teacher_params(
             variables, "int8",
             teacher=RegionCLIPTeacher(compute_dtype="int8", **kw))

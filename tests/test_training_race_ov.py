@@ -87,7 +87,21 @@ def _cfg(per_layer: bool = False, alignment: float = 1.0) -> TrainConfig:
     )
 
 
-def _ov_batches(num: int, seed: int):
+def _smooth_images(rng, B):
+    """Chroma-smooth canvases (low-frequency base + luma detail) — the
+    content class real 4:2:0 camera JPEGs carry, and the yuv420 codec's
+    stated contract (datasets/loader.py codec notes)."""
+    from ov3det.models.regionclip import _bilinear_upsample_np
+
+    low = rng.uniform(30, 225, size=(B, IMG_H // 8, IMG_W // 8, 3))
+    base = np.stack(
+        [_bilinear_upsample_np(low[b], IMG_H, IMG_W) for b in range(B)]
+    )
+    luma = rng.uniform(-30, 30, size=(B, IMG_H, IMG_W, 1))
+    return np.clip(base + luma, 0, 255).astype(np.uint8)
+
+
+def _ov_batches(num: int, seed: int, smooth: bool = False):
     """Point batches + image/calib fields in the SUN RGB-D OV schema."""
     ds = SyntheticDataset(size=num * BATCH, seed=seed, num_points=NPOINTS,
                           num_semcls=NCLS, num_angle_bin=NBIN)
@@ -96,7 +110,7 @@ def _ov_batches(num: int, seed: int):
         items = [ds[k * BATCH + i] for i in range(BATCH)]
         b = {key: np.stack([it[key] for it in items]) for key in items[0]}
         rng = np.random.default_rng(seed * 31 + k)
-        b["image"] = rng.integers(
+        b["image"] = _smooth_images(rng, BATCH) if smooth else rng.integers(
             0, 256, size=(BATCH, IMG_H, IMG_W, 3), dtype=np.uint8
         )
         b["image_height"] = np.full((BATCH,), IMG_H, np.int32)
@@ -245,3 +259,64 @@ def test_q16_codec_training_neutral():
     f_ap = _ap25(f_eval, f_state, probe)
     q_ap = _ap25(q_eval, q_state, probe)
     assert abs(f_ap - q_ap) <= 0.15, (f_ap, q_ap)
+
+
+@pytest.mark.slow
+def test_yuv420_codec_training_neutral():
+    """Training THROUGH yuv420-roundtripped canvases (the benched image
+    codec, bench.py OV_QUANTIZE, and the device image bank's storage
+    format) must land where training on pristine RGB canvases lands.
+    Completes the benched config's codec evidence: q16 (points) is raced
+    above; this races the image leg end-to-end through the teacher +
+    2D-alignment loss, not just the teacher-feature cosine
+    (tests/test_teacher_parity.py).  Canvases are chroma-smooth — the
+    content class the codec is contracted for (SUN RGB-D sources are
+    4:2:0 JPEGs; reference datasets/sunrgbd.py:281-292 decodes them, so
+    the chroma detail yuv420 drops was never in the source files)."""
+    from ov3det.datasets.loader import pack_batch, unpack_batch
+
+    batches = _ov_batches(ITERS_PER_EPOCH, seed=5, smooth=True)
+    probe = _ov_batches(2, seed=103, smooth=True)
+    teacher_kw, t_vars = _tiny_teacher()
+
+    def yuv_roundtrip(b):
+        np_b = {k: np.asarray(v) for k, v in b.items()}
+        buf, metas = pack_batch(np_b, quantize=("image",))
+        rt = unpack_batch(jnp.asarray(buf), metas)
+        assert rt["image"].dtype == jnp.uint8
+        err = np.abs(np.asarray(rt["image"], np.int32)
+                     - np_b["image"].astype(np.int32))
+        # codec engaged (chroma subsampling is lossy) but bounded on the
+        # smooth content class it is contracted for (measured here: mean
+        # ~3.5/255, max ~23/255 — the 2x2 chroma average across the base's
+        # 8-px-period gradient; luma-only detail rides Y exactly)
+        assert 0 < err.max() <= 32 and err.mean() < 6.0, (
+            err.max(), err.mean())
+        out = dict(b)
+        out["image"] = rt["image"]
+        return out
+
+    teacher_fn = make_teacher_fn(RegionCLIPTeacher(**teacher_kw))
+    (f_losses, f_det), f_state, f_eval, snap = _train(
+        _cfg(), batches, teacher_fn, t_vars)
+    (y_losses, y_det), y_state, y_eval, _ = _train(
+        _cfg(), [yuv_roundtrip(b) for b in batches], teacher_fn, t_vars,
+        init_state=snap)
+
+    np.testing.assert_allclose(y_losses[0], f_losses[0], rtol=5e-2)
+    f_final = float(np.mean(f_losses[-24:]))
+    y_final = float(np.mean(y_losses[-24:]))
+    assert f_final < 0.8 * f_losses[0]
+    assert y_final < 0.8 * y_losses[0]
+    # same bound structure as the q16 race: detection components carry
+    # the equivalence claim; the tiny random teacher's alignment noise
+    # floor dominates the total
+    f_det_final = float(np.mean(f_det[-24:]))
+    y_det_final = float(np.mean(y_det[-24:]))
+    assert abs(y_det_final - f_det_final) <= 0.10 * f_det_final, (
+        y_det_final, f_det_final)
+    assert abs(y_final - f_final) <= 0.20 * f_final, (y_final, f_final)
+
+    f_ap = _ap25(f_eval, f_state, probe)
+    y_ap = _ap25(y_eval, y_state, probe)
+    assert abs(f_ap - y_ap) <= 0.15, (f_ap, y_ap)
