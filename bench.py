@@ -429,6 +429,63 @@ def _teacher_vars_cached(teacher):
     return t_np
 
 
+class _ModBankRefDataset:
+    """Bench-only BankRefDataset variant: image_ref = idx % n_bank (see
+    the n_bank rationale at the call site).  Points/labels stay per-idx
+    fresh; only the static canvas rows are shared."""
+
+    def __init__(self, dataset, n_bank: int, key: str = "image"):
+        self.dataset, self.n_bank, self.key = dataset, n_bank, key
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):  # delegate metadata attrs like the real one
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx: int) -> dict:
+        d = dict(self.dataset[idx])
+        d.pop(self.key)
+        d[self.key + "_ref"] = np.int32(idx % self.n_bank)
+        return d
+
+
+def _bank_rows_cached(raw_ds, n: int):
+    """Encoded yuv420 bank rows for the bench's synthetic canvases,
+    disk-cached across runs (same rationale as _teacher_vars_cached: row
+    i is deterministic in (seed, i) — SyntheticOVDataset.get_image seeds
+    per index — and the encode costs ~0.2 s/scene on this 1-core host.
+    In production the bank ships from preprocessed storage the same way;
+    the measured windows are identical either way).  Prefix-extensible:
+    a cache written by a larger run serves any smaller one."""
+    path = os.path.expanduser(
+        f"~/.cache/ov3det/bank_s{raw_ds.seed}"
+        f"_{raw_ds.IMG_H}x{raw_ds.IMG_W}_v1.npy")
+    rows = None
+    if os.path.exists(path):
+        try:
+            rows = np.load(path)
+        except Exception as exc:  # cache is best-effort
+            note(f"bank cache read failed: {exc}")
+    if rows is not None and rows.shape[0] >= n:
+        note(f"bank rows from cache ({path})")
+        return rows[:n]
+    from ov3det.datasets.loader import _yuv420_encode
+
+    out = [rows[i] if rows is not None and i < rows.shape[0]
+           else _yuv420_encode(raw_ds.get_image(i)) for i in range(n)]
+    bank = np.stack(out)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: np.save won't append .npy
+            np.save(f, bank)
+        os.replace(tmp, path)
+    except OSError as exc:  # cache is best-effort
+        note(f"bank cache write failed: {exc}")
+    return bank
+
+
 def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
              budget: Budget):
     from dataclasses import replace
@@ -438,8 +495,6 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
         make_teacher_fn,
         quantize_teacher_params,
     )
-
-    from ov3det.datasets import BankRefDataset, build_image_bank
 
     ov_cfg = replace(cfg, loss=replace(cfg.loss, alignment_2d_weight=1.0))
     # RN50x4 (width 80, layers (4,6,10,6)); int8 W8A8 trunk = the production
@@ -464,11 +519,24 @@ def bench_ov(cfg, per_layer: bool, warmup: int, iters: int, windows: int,
     # against compute on this tunnel (round-4 congested windows) is gone
     # from the steady-state loop.  Standup cost: one yuv encode per scene
     # + one bulk put, amortized over every epoch of a real run.
-    note(f"building device image bank ({len(raw_ds)} scenes)")
-    bank, bank_hw = build_image_bank(
-        raw_ds, sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0])
-    )
-    ds = BankRefDataset(raw_ds)
+    # Bank rows for N_BANK distinct canvases; scenes beyond that reuse rows
+    # modulo N_BANK.  Per-STEP cost is independent of bank row count (each
+    # step gathers exactly B rows from HBM whatever the bank holds), so the
+    # measured windows are unchanged — but the one-time standup put drops
+    # 820 -> ~150 MB, which matters on this tunnel: an 820 MB put was
+    # observed to stall for 15+ min under congestion (2026-08-20), and the
+    # driver's budgeted scoreboard run must not inherit that risk.  A real
+    # deployment uploads its full distinct-canvas bank once per JOB (3 GB
+    # for SUN RGB-D train), amortized over days — not once per 90 s bench.
+    n_bank = min(len(raw_ds), 256)
+    note(f"building device image bank ({n_bank} canvases, "
+         f"{len(raw_ds)} scenes)")
+    rows = _bank_rows_cached(raw_ds, n_bank)
+    bank = jax.device_put(
+        rows, jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+    jax.block_until_ready(bank)
+    bank_hw = (int(raw_ds.IMG_H), int(raw_ds.IMG_W))
+    ds = _ModBankRefDataset(raw_ds, n_bank)
     state, run_step, _, _, _ = build(
         ov_cfg, teacher_fn=teacher_fn, teacher_vars=t_vars,
         image_bank=bank, image_bank_hw=bank_hw)
