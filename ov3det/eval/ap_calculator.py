@@ -65,15 +65,15 @@ class APCalculator:
         self.reset()
 
     def make_gt_list(self, gt_box_corners, gt_box_sem_cls_labels, gt_box_present):
+        """Per-sample `(classes (G,), corners (G, 8, 3))` array pairs (same
+        array-native scan format as assemble_predictions)."""
         batch_gt = []
         for i in range(gt_box_corners.shape[0]):
-            batch_gt.append(
-                [
-                    (int(gt_box_sem_cls_labels[i, j]), gt_box_corners[i, j])
-                    for j in range(gt_box_corners.shape[1])
-                    if gt_box_present[i, j] == 1
-                ]
-            )
+            keep = gt_box_present[i] == 1
+            batch_gt.append((
+                np.asarray(gt_box_sem_cls_labels[i][keep], np.int64),
+                np.asarray(gt_box_corners[i][keep]),
+            ))
         return batch_gt
 
     def step_meter(self, outputs: dict, targets: dict):
@@ -110,12 +110,18 @@ class APCalculator:
             cls_nms=cfgd["cls_nms"],
             no_nms=cfgd["no_nms"],
         )
+        # ONE fused D2H fetch: five separate np.asarray round-trips through
+        # the device tunnel measured ~14 ms/batch (scripts/eval_timing.py)
+        corners_np, probs_np, obj_np, mask_np, cls_np = jax.device_get(
+            (predicted_box_corners, sem_cls_probs, objectness_probs,
+             pred_mask, pred_sem_cls)
+        )
         batch_pred = assemble_predictions(
-            np.asarray(predicted_box_corners),
-            np.asarray(sem_cls_probs),
-            np.asarray(objectness_probs),
-            np.asarray(pred_mask),
-            np.asarray(pred_sem_cls),
+            corners_np,
+            probs_np,
+            obj_np,
+            mask_np,
+            cls_np,
             conf_thresh=cfgd["conf_thresh"],
             per_class_proposal=cfgd["per_class_proposal"],
             use_cls_confidence_only=cfgd["use_cls_confidence_only"],

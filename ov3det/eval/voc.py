@@ -36,47 +36,49 @@ def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> fl
 def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
     """Greedy matching for one class (reference utils/eval_det.py:66-155).
 
-    pred: {scan_id: [(corners, score)]}; gt: {scan_id: [corners]}.
+    pred: {scan_id: (corners (m, 8, 3), scores (m,))};
+    gt: {scan_id: corners (g, 8, 3)} (possibly empty arrays).
+    Legacy per-scan formats — [(corners, score)] lists (PRCalculator) —
+    are normalized on entry.
     """
+    pred = {img: _as_box_score_pairs(v) for img, v in pred.items()}
     class_recs = {}
     npos = 0
     for img_id in gt.keys():
-        bbox = np.array(gt[img_id])
+        bbox = np.asarray(gt[img_id])
         class_recs[img_id] = {"bbox": bbox, "det": [False] * len(bbox)}
         npos += len(bbox)
     for img_id in pred.keys():
         if img_id not in gt:
             class_recs[img_id] = {"bbox": np.array([]), "det": []}
 
-    image_ids, confidence, BB = [], [], []
-    for img_id in pred.keys():
-        for box, score in pred[img_id]:
-            image_ids.append(img_id)
-            confidence.append(score)
-            BB.append(box)
-    confidence = np.array(confidence)
-    BB = np.array(BB)
+    # flatten (scan insertion order, in-scan order — identical sequence to
+    # the reference's nested append loops, so the confidence sort below
+    # ranks the same entries in the same way)
+    image_ids, confidence, det_index_in_img = [], [], []
+    for img_id, (boxes, scores) in pred.items():
+        m = len(scores)
+        image_ids += [img_id] * m
+        confidence.append(np.asarray(scores))
+        det_index_in_img.append(np.arange(m))
+    confidence = (np.concatenate(confidence) if confidence
+                  else np.zeros(0))
+    det_index_in_img = (np.concatenate(det_index_in_img)
+                        if det_index_in_img else np.zeros(0, np.int64))
 
     # vectorized IoU: one matrix per scan instead of one clip per pair
     iou_cache = {}
-    for img_id in pred.keys():
+    for img_id, (boxes, scores) in pred.items():
         gts = class_recs[img_id]["bbox"]
-        dets = np.array([b for b, _ in pred[img_id]])
-        if len(dets) and len(gts):
+        if len(boxes) and len(gts):
             iou_cache[img_id] = box3d_iou_batch_np(
-                dets.astype(np.float64), gts.astype(np.float64)
+                np.asarray(boxes, np.float64), np.asarray(gts, np.float64)
             )
-    det_rank = {}  # order of each detection within its scan's pred list
 
     sorted_ind = np.argsort(-confidence) if len(confidence) else []
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
-    per_img_counter = {img: 0 for img in pred.keys()}
-    det_index_in_img = []
-    for img in image_ids:
-        det_index_in_img.append(per_img_counter[img])
-        per_img_counter[img] += 1
 
     for rank, d in enumerate(sorted_ind):
         img_id = image_ids[d]
@@ -106,6 +108,45 @@ def _eval_cls_wrapper(args):
     return eval_det_cls(*args)
 
 
+def _as_box_score_pairs(v):
+    """Normalize one scan's per-class detections to (boxes, scores) arrays.
+    Accepts the array pair directly or a list of (box, score) tuples
+    (boxes may be corner (8,3) or AABB 6-vector rows)."""
+    if isinstance(v, tuple) and len(v) == 2:
+        return np.asarray(v[0]), np.asarray(v[1])
+    if not len(v):
+        return np.zeros((0, 8, 3)), np.zeros(0)
+    return (np.stack([np.asarray(b) for b, _ in v]),
+            np.array([s for _, s in v]))
+
+
+def _as_pred_arrays(dets):
+    """Normalize one scan's detections to (classes, corners, scores) arrays.
+    Accepts the array triple directly (APCalculator's accumulation format)
+    or the reference-style list of (cls, corners, score) tuples."""
+    if isinstance(dets, tuple):
+        return dets
+    if not len(dets):
+        return (np.zeros(0, np.int64), np.zeros((0, 8, 3)), np.zeros(0))
+    return (
+        np.array([d[0] for d in dets], np.int64),
+        np.stack([np.asarray(d[1]) for d in dets]),
+        np.array([d[2] for d in dets]),
+    )
+
+
+def _as_gt_arrays(gts):
+    """Normalize one scan's GT boxes to (classes, corners) arrays."""
+    if isinstance(gts, tuple):
+        return gts
+    if not len(gts):
+        return (np.zeros(0, np.int64), np.zeros((0, 8, 3)))
+    return (
+        np.array([g[0] for g in gts], np.int64),
+        np.stack([np.asarray(g[1]) for g in gts]),
+    )
+
+
 def eval_det(
     pred_all: dict,
     gt_all: dict,
@@ -115,17 +156,27 @@ def eval_det(
 ):
     """Multi-class AP (reference utils/eval_det.py:164-272).
 
-    pred_all: {scan: [(cls, corners, score)]}; gt_all: {scan: [(cls, corners)]}.
-    processes > 0 fans the class loop over a process pool.
+    Scan entries are array triples/pairs — preds
+    `(classes (M,), corners (M, 8, 3), scores (M,))`, gts
+    `(classes (G,), corners (G, 8, 3))` (what APCalculator accumulates) —
+    or the reference's tuple lists `[(cls, corners, score)]` /
+    `[(cls, corners)]` (tools/tests), normalized here.  processes > 0
+    fans the class loop over a process pool.
     """
     pred, gt = {}, {}
     for img_id, dets in pred_all.items():
-        for classname, bbox, score in dets:
-            pred.setdefault(classname, {}).setdefault(img_id, []).append((bbox, score))
-            gt.setdefault(classname, {}).setdefault(img_id, [])
+        cls_arr, boxes, scores = _as_pred_arrays(dets)
+        for classname in np.unique(cls_arr):
+            m = cls_arr == classname
+            # mask keeps in-scan order => same per-class sequence as the
+            # reference's per-det append loop
+            pred.setdefault(int(classname), {})[img_id] = (boxes[m], scores[m])
+            gt.setdefault(int(classname), {}).setdefault(
+                img_id, np.zeros((0, 8, 3)))
     for img_id, gts in gt_all.items():
-        for classname, bbox in gts:
-            gt.setdefault(classname, {}).setdefault(img_id, []).append(bbox)
+        cls_arr, boxes = _as_gt_arrays(gts)
+        for classname in np.unique(cls_arr):
+            gt.setdefault(int(classname), {})[img_id] = boxes[cls_arr == classname]
 
     rec, prec, ap = {}, {}, {}
     work = [(cls, pred[cls], gt[cls]) for cls in gt.keys() if cls in pred]

@@ -20,6 +20,7 @@ and prints ONE JSON line (scenes/s + per-leg ms/scene).  The dated
 result is recorded in docs/PROFILE.md.  Run standalone, one compute job
 at a time (see .claude/skills/verify).
 """
+import argparse
 import json
 import os
 import sys
@@ -44,6 +45,55 @@ from ov3det.models import Model3DETR
 BATCH = 8
 NUM_POINTS = 20000
 N_BATCHES = 16  # 128 val scenes (SUN RGB-D val is 5050; rate is per-scene)
+
+
+def time_reference(saved, num_semcls: int) -> dict:
+    """Time the REFERENCE eval path (torch/numpy host: per-box Delaunay
+    in-hull parse + python while-loop NMS + pooled eval_det,
+    reference utils/ap_calculator.py:39-238 + utils/eval_det.py:214-272)
+    on the SAME model outputs our path just parsed, imported from
+    /root/reference like the parity tests do.  `saved` is a list of
+    (outputs_np, batch) pairs — few of them: the reference parse is
+    seconds/scene at 20k points x 128 proposals."""
+    from tests.conftest import add_reference_to_path, reference_available
+
+    if not reference_available():
+        return {"reference": "absent"}
+    add_reference_to_path()
+    import torch
+    from utils.ap_calculator import APCalculator as RefAPCalculator
+
+    n_cls = num_semcls  # class bodies can't read same-named function args
+
+    class _DC:
+        num_semcls = n_cls
+
+    calc = RefAPCalculator(dataset_config=_DC(), ap_iou_thresh=[0.25, 0.5],
+                           exact_eval=True)
+    t_parse = 0.0
+    n = 0
+    for out, b in saved:
+        t0 = time.perf_counter()
+        calc.step(
+            predicted_box_corners=torch.from_numpy(out["box_corners"]),
+            sem_cls_probs=torch.from_numpy(out["sem_cls_prob"]),
+            objectness_probs=torch.from_numpy(out["objectness_prob"]),
+            point_cloud=torch.from_numpy(np.asarray(b["point_clouds"], np.float32)),
+            gt_box_corners=torch.from_numpy(np.asarray(b["gt_box_corners"], np.float32)),
+            gt_box_sem_cls_labels=torch.from_numpy(np.asarray(b["gt_box_sem_cls_label"])),
+            gt_box_present=torch.from_numpy(np.asarray(b["gt_box_present"], np.float32)),
+        )
+        t_parse += time.perf_counter() - t0
+        n += b["point_clouds"].shape[0]
+    t0 = time.perf_counter()
+    calc.compute_metrics()
+    t_ap = time.perf_counter() - t0
+    return {
+        "ref_scenes": n,
+        "ref_parse_step_ms_per_scene": round(t_parse / n * 1e3, 1),
+        "ref_ap_ms_per_scene": round(t_ap / n * 1e3, 1),
+        "ref_scenes_per_sec": round(n / (t_parse + t_ap), 2),
+    }
 
 
 def main():
@@ -89,6 +139,7 @@ def main():
 
     ap = fresh_ap()
     t_put = t_dev = t_meter = 0.0
+    saved_dev = []
     wall0 = time.perf_counter()
     for b in batches:
         t0 = time.perf_counter()
@@ -102,6 +153,8 @@ def main():
         t0 = time.perf_counter()
         ap.step_meter(out, jb)
         t_meter += time.perf_counter() - t0
+        if len(saved_dev) < args.reference:
+            saved_dev.append((out, b))  # device refs: fetched after timing
     t0 = time.perf_counter()
     metrics = ap.compute_metrics()
     t_ap = time.perf_counter() - t0
@@ -121,8 +174,18 @@ def main():
         "map50": round(float(metrics[0.5]["mAP"]), 4),
         "platform": jax.devices()[0].platform,
     }
+    if saved_dev:
+        keys = ("box_corners", "sem_cls_prob", "objectness_prob")
+        saved = [({k: np.asarray(jax.device_get(out[k]), np.float32)
+                   for k in keys}, b) for out, b in saved_dev]
+        result.update(time_reference(saved, cfg.model.num_semcls))
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
+    ap_cli = argparse.ArgumentParser()
+    ap_cli.add_argument("--reference", type=int, default=2,
+                        help="batches to also time through the reference "
+                        "torch eval path (0 = skip)")
+    args = ap_cli.parse_args()
     main()
