@@ -64,7 +64,10 @@ def run_one_step(num_mesh_devices: int, ov: bool = False) -> float:
             encoder=EncoderConfig(num_layers=1, dim=32, ffn_dim=32),
             decoder=DecoderConfig(num_layers=1, dim=32, ffn_dim=32),
             mlp_dropout=0.0,
-            clip_embed_dim=embed if ov else 0,
+            # nonzero in BOTH modes: the classifier is always the
+            # visual-embed @ text-embed product, and a 0-dim Dense cannot
+            # initialize (fan-in division by zero)
+            clip_embed_dim=embed,
         ),
         loss=LossConfig(
             matcher=MatcherConfig(),
