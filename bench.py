@@ -136,6 +136,7 @@ def _key(i: int):
 # JaxRuntimeError INTERNAL.  One retry after a pause rode it out both times.
 _TRANSIENT = ("remote_compile", "INTERNAL:", "UNAVAILABLE:",
               "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+_RETRY_PAUSE_S = 20.0
 
 
 def retry_transient(thunk, budget, label):
@@ -150,7 +151,7 @@ def retry_transient(thunk, budget, label):
         if not any(p in msg for p in _TRANSIENT) or not budget.allows(60):
             raise
         note(f"{label}: transient backend error, retrying once ({msg[:160]})")
-        time.sleep(20)
+        time.sleep(_RETRY_PAUSE_S)
         return thunk()
 
 
